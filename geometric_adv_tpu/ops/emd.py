@@ -1,0 +1,156 @@
+"""Approximate Earth Mover's Distance (the reference's ``approx_match`` /
+``match_cost`` op pair).
+
+Contract (reference: external/structural_losses/tf_approxmatch.py:10-50):
+
+    approx_match(xyz1[b, n, 3], xyz2[b, m, 3]) -> match[b, m, n]
+    match_cost(xyz1, xyz2, match)              -> cost[b]
+
+``approx_match`` runs a fixed 9+1 round auction/Sinkhorn-style sweep with
+temperatures ``level = -4**j`` for j = 7..-1 and ``level = 0`` on the final
+round (reference: external/structural_losses/tf_approxmatch_g.cu:21-25,
+approxmatch.cpp:25-29). Unequal cardinalities are handled with integer
+multipliers ``multiL = max(m // n, 1)``, ``multiR = max(n // m, 1)``
+(reference: tf_approxmatch_g.cu:3-10). ``match`` carries **no gradient**
+(reference: tf_approxmatch.py:19).
+
+``match_cost`` is ``sum(match * sqrt(d))`` with true (non-squared) L2
+distances (reference: approxmatch.cpp:79-99); its gradient is the reference's
+hand-written ``(a - b) / d`` formula with ``d`` clamped at 1e-20 under rsqrt
+(reference: tf_approxmatch_g.cu:229-292).
+
+TPU design notes
+----------------
+The sweep is data-independent control flow over dense [n, m] arrays — ideal
+for XLA: a ``lax.fori_loop`` over 10 rounds where each round is two matvecs
+and one rank-1-scaled elementwise update, all fused on VPU/MXU. The pairwise
+squared-distance matrix is computed once and reused across all rounds (the
+CUDA kernel recomputes it 3x per round because it cannot afford the HBM
+round-trip; on TPU XLA keeps it live in HBM and streams tiles through VMEM).
+
+The reference CUDA kernel enforces n <= 4096, m <= 1024
+(reference: approxmatch.cu:1-3); this implementation has no such hard limit,
+memory for the [b, n, m] intermediates is the only constraint.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from geometric_adv_tpu.ops.chamfer import pairwise_sqdist
+
+Array = jax.Array
+
+# Temperature schedule: j = 7, 6, ..., -1 with level = -(4^j); final round 0.
+_LEVELS = tuple([-(4.0**j) for j in range(7, -3, -1)][:-1] + [0.0])
+
+
+def _approx_match_single(xyz1: Array, xyz2: Array) -> Array:
+    """Match matrix for one pair of clouds: [n, 3], [m, 3] -> [m, n]."""
+    n = xyz1.shape[0]
+    m = xyz2.shape[0]
+    # Integer multipliers exactly as the CUDA kernel computes them
+    # (reference: tf_approxmatch_g.cu:3-10; C integer division).
+    if n >= m:
+        mult_l, mult_r = 1.0, float(n // m)
+    else:
+        mult_l, mult_r = float(m // n), 1.0
+
+    sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [n, m]
+    levels = jnp.asarray(_LEVELS, dtype=xyz1.dtype)
+
+    def round_fn(i, state):
+        match, remain_l, remain_r = state
+        level = levels[i]
+        k = jnp.exp(level * sqd)  # [n, m]
+
+        # Row pass: ratioL[k] = remainL[k] / (1e-9 + sum_l K[k,l]*remainR[l])
+        suml = k @ remain_r + 1e-9
+        ratio_l = remain_l / suml
+
+        # Column pass: sumr[l] = (sum_k K[k,l]*ratioL[k]) * remainR[l]
+        sumr = (ratio_l @ k) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(remain_r - sumr, 0.0)
+
+        # Accumulate w[k,l] = K * ratioL[k] * ratioR[l]
+        w = k * ratio_l[:, None] * ratio_r[None, :]
+        match = match + w
+        remain_l = jnp.maximum(remain_l - jnp.sum(w, axis=1), 0.0)
+        return match, remain_l, remain_r
+
+    match0 = jnp.zeros((n, m), dtype=xyz1.dtype)
+    remain_l0 = jnp.full((n,), mult_l, dtype=xyz1.dtype)
+    remain_r0 = jnp.full((m,), mult_r, dtype=xyz1.dtype)
+    match, _, _ = jax.lax.fori_loop(
+        0, len(_LEVELS), round_fn, (match0, remain_l0, remain_r0)
+    )
+    # Reference layout is [m, n] (match[b, m, n]): tf_approxmatch.py:16-17.
+    return match.T
+
+
+def approx_match(xyz1: Array, xyz2: Array) -> Array:
+    """Soft assignment matrix match[b, m, n]; carries no gradient.
+
+    reference: external/structural_losses/tf_approxmatch.py:10-19.
+    """
+    fn = _approx_match_single
+    for _ in range(xyz1.ndim - 2):
+        fn = jax.vmap(fn)
+    return jax.lax.stop_gradient(fn(xyz1, xyz2))
+
+
+def _match_cost_impl(xyz1: Array, xyz2: Array, match: Array) -> Array:
+    sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [..., n, m]
+    d = jnp.sqrt(sqd)
+    return jnp.sum(jnp.swapaxes(match, -1, -2) * d, axis=(-1, -2))
+
+
+@jax.custom_vjp
+def match_cost(xyz1: Array, xyz2: Array, match: Array) -> Array:
+    """EMD transport cost: cost[b] = sum(match[l,k] * ||x1[k] - x2[l]||).
+
+    reference: external/structural_losses/tf_approxmatch.py:27-36,
+    approxmatch.cpp:79-99 (sqrt — i.e. true L2 — distances).
+    """
+    return _match_cost_impl(xyz1, xyz2, match)
+
+
+def _match_cost_fwd(xyz1, xyz2, match):
+    return _match_cost_impl(xyz1, xyz2, match), (xyz1, xyz2, match)
+
+
+def _match_cost_bwd(res, g):
+    xyz1, xyz2, match = res
+    # reference: tf_approxmatch_g.cu:229-292 —
+    #   grad1[k] = sum_l match[l,k] * (x1[k]-x2[l]) * rsqrt(max(d2, 1e-20))
+    #   grad2[l] = sum_k match[l,k] * (x2[l]-x1[k]) * rsqrt(max(d2, 1e-20))
+    # Expanded so the O(n*m*3) contractions become MXU matmuls instead of a
+    # materialised [n, m, 3] difference tensor:
+    #   grad1 = rowsum(w) * x1 - w @ x2,  grad2 = colsum(w) * x2 - w.T @ x1
+    sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [..., n, m]
+    inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
+    w = jnp.swapaxes(match, -1, -2) * inv_d  # [..., n, m]
+    wx2 = jnp.einsum("...nm,...mc->...nc", w, xyz2, preferred_element_type=jnp.float32)
+    wx1 = jnp.einsum("...nm,...nc->...mc", w, xyz1, preferred_element_type=jnp.float32)
+    grad1 = jnp.sum(w, axis=-1)[..., None] * xyz1 - wx2
+    grad2 = jnp.sum(w, axis=-2)[..., None] * xyz2 - wx1
+    gexp = g[..., None, None]
+    return grad1 * gexp, grad2 * gexp, None
+
+
+match_cost.defvjp(_match_cost_fwd, _match_cost_bwd)
+
+
+def emd_loss_per_pc(pred: Array, gt: Array) -> Array:
+    """Per-cloud approximate EMD: match_cost(pred, gt, approx_match(pred, gt)).
+
+    Used as the AE's EMD training loss before the batch mean
+    (reference: src/pointnet_ae.py:77-79).
+    """
+    match = approx_match(pred, gt)
+    return match_cost(pred, gt, match)
