@@ -1,0 +1,303 @@
+"""AE training and batched inference (replaces the reference's
+``AutoEncoder``/``NeuralNet`` TF1 session machinery,
+reference: src/autoencoder.py:85-331, src/neural_net.py:13-43).
+
+TPU design: one jitted train step (forward, chamfer/EMD loss, backward, Adam
+update, BN moving-stat update) — the per-step Python<->device round trip of
+``partial_fit`` (reference: src/autoencoder.py:105-125) becomes a single
+device-side program. Data parallelism is input-sharding over a 1-D mesh:
+params are replicated, the batch axis is sharded, and XLA inserts the ICI
+all-reduce for gradients.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geometric_adv_tpu.data.augment import apply_augmentations
+from geometric_adv_tpu.models.pointnet_ae import PointNetAE
+from geometric_adv_tpu.ops import chamfer_loss_per_pc, emd_loss_per_pc
+from geometric_adv_tpu.parallel.mesh import (
+    batch_sharding,
+    pad_to_multiple,
+    replicated,
+)
+from geometric_adv_tpu.train import checkpoint as ckpt
+from geometric_adv_tpu.train.config import Configuration
+
+
+class AEState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: jnp.ndarray  # scalar int32, mirrors the reference's epoch counter
+
+
+def reconstruction_loss_per_pc(recon, gt, loss_type: str):
+    if loss_type == "chamfer":
+        return chamfer_loss_per_pc(recon, gt)
+    elif loss_type == "emd":
+        return emd_loss_per_pc(recon, gt)
+    raise ValueError(f"unknown loss {loss_type!r}")
+
+
+class AETrainer:
+    """Builds the model + optimizer and owns the jitted step functions."""
+
+    def __init__(
+        self,
+        conf: Configuration,
+        mesh=None,
+        seed: int = 42,
+        params=None,
+        batch_stats=None,
+    ):
+        self.conf = conf
+        self.mesh = mesh
+        self.model = PointNetAE(
+            n_points=conf.n_points,
+            bneck_size=conf.bneck_size,
+            encoder_filters=conf.encoder_filters,
+            decoder_sizes=conf.decoder_sizes,
+            bn_momentum=conf.b_norm_decay,
+        )
+
+        if conf.exponential_decay and conf.decay_steps:
+            # reference: src/pointnet_ae.py:93-95 (staircase halving, 1e-5 floor)
+            self.lr_schedule = lambda step: jnp.maximum(
+                conf.learning_rate * 0.5 ** (step // conf.decay_steps), 1e-5
+            )
+        else:
+            self.lr_schedule = conf.learning_rate
+        self.tx = optax.adam(self.lr_schedule)
+
+        if params is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, conf.n_points, 3), jnp.float32),
+                train=False,
+            )
+            params = variables["params"]
+            batch_stats = variables["batch_stats"]
+        self.state = AEState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+        if mesh is not None:
+            self.state = jax.device_put(self.state, replicated(mesh))
+
+        self._jit_train_step = jax.jit(self._train_step)
+        self._jit_forward = jax.jit(self._forward)
+
+    # --- device-side programs -------------------------------------------
+    def _train_step(self, state: AEState, x, gt):
+        def loss_fn(params):
+            (recon, _, _), updates = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = jnp.mean(reconstruction_loss_per_pc(recon, gt, self.conf.loss))
+            return loss, (updates["batch_stats"], recon)
+
+        (loss, (new_stats, recon)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt_state
+        )
+        return new_state, loss, recon
+
+    def _forward(self, state: AEState, x, gt):
+        recon, z, pre_symmetry = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+        loss_per_pc = reconstruction_loss_per_pc(recon, gt, self.conf.loss)
+        return recon, z, pre_symmetry, loss_per_pc
+
+    # --- host-side API (mirrors reference: src/autoencoder.py) -----------
+    def partial_fit(self, x, gt=None):
+        gt = x if gt is None else gt
+        self.state, loss, recon = self._jit_train_step(self.state, x, gt)
+        return np.asarray(recon), float(loss)
+
+    def _batched_forward(self, pclouds, gt=None, batch_size=50):
+        """Chunked inference over an arbitrary number of clouds."""
+        gt = pclouds if gt is None else gt
+        outs = {"recon": [], "z": [], "pre": [], "loss": []}
+        n = len(pclouds)
+        shard_of = 1 if self.mesh is None else self.mesh.devices.size
+        for s in range(0, n, batch_size):
+            xb = np.asarray(pclouds[s : s + batch_size], np.float32)
+            gb = np.asarray(gt[s : s + batch_size], np.float32)
+            xb, n_orig = pad_to_multiple(xb, shard_of)
+            gb, _ = pad_to_multiple(gb, shard_of)
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                xb, gb = jax.device_put(xb, sh), jax.device_put(gb, sh)
+            recon, z, pre, loss = self._jit_forward(self.state, xb, gb)
+            outs["recon"].append(np.asarray(recon)[:n_orig])
+            outs["z"].append(np.asarray(z)[:n_orig])
+            outs["pre"].append(np.asarray(pre)[:n_orig])
+            outs["loss"].append(np.asarray(loss)[:n_orig])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    def reconstruct(self, x, gt=None, compute_loss=True):
+        out = self._batched_forward(x, gt, batch_size=len(x))
+        loss = float(out["loss"].mean()) if compute_loss else None
+        return out["recon"], loss
+
+    def get_reconstructions(self, pclouds, batch_size=50):
+        return self._batched_forward(pclouds, batch_size=batch_size)["recon"]
+
+    def get_latent_vectors(self, pclouds, batch_size=50):
+        return self._batched_forward(pclouds, batch_size=batch_size)["z"]
+
+    def get_pre_symmetry_data(self, pclouds, batch_size=50):
+        return self._batched_forward(pclouds, batch_size=batch_size)["pre"]
+
+    def get_loss_per_pc(self, feed_data, orig_data=None, batch_size=50):
+        return self._batched_forward(
+            feed_data, orig_data, batch_size=batch_size
+        )["loss"]
+
+    def transform(self, x):
+        return self.get_latent_vectors(x, batch_size=len(x))
+
+    def decode(self, z):
+        z = np.atleast_2d(np.asarray(z, np.float32))
+        recon = jax.jit(
+            lambda state, zz: self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                zz,
+                train=False,
+                method=PointNetAE.decode,
+            )
+        )(self.state, z)
+        return np.asarray(recon)
+
+    def interpolate(self, x, y, steps):
+        """reference: src/autoencoder.py:178-189."""
+        z = self.transform(np.stack([x, y]))
+        alphas = np.linspace(0, 1, steps + 2)[:, None]
+        all_z = alphas * z[1] + (1.0 - alphas) * z[0]
+        return self.decode(all_z.astype(np.float32))
+
+    # --- training loop (reference: src/autoencoder.py:196-227,
+    #     src/pointnet_ae.py:101-138) ------------------------------------
+    def _single_epoch(self, train_data, conf, only_fw=False):
+        n_batches = train_data.num_examples // conf.batch_size
+        epoch_loss = 0.0
+        start = time.time()
+        for _ in range(n_batches):
+            if conf.is_denoising:
+                original, _, batch = train_data.next_batch(conf.batch_size)
+                if batch is None:
+                    batch = original
+            else:
+                batch, _, _ = train_data.next_batch(conf.batch_size)
+                original = batch
+            batch = apply_augmentations(batch, conf).astype(np.float32)
+            if only_fw:
+                _, loss = self.reconstruct(batch, original)
+            else:
+                _, loss = self.partial_fit(batch, original)
+            epoch_loss += loss
+        epoch_loss /= max(n_batches, 1)
+        if conf.loss == "emd":
+            epoch_loss /= train_data.n_points  # reference: pointnet_ae.py:135
+        return epoch_loss, time.time() - start
+
+    def train(self, train_data, conf=None, log_file=None, held_out_data=None):
+        conf = conf or self.conf
+        stats = []
+        for _ in range(conf.training_epochs):
+            loss, duration = self._single_epoch(train_data, conf)
+            self.state = self.state.replace(epoch=self.state.epoch + 1)
+            epoch = int(self.state.epoch)
+            stats.append((epoch, loss, duration))
+
+            if epoch % conf.loss_display_step == 0:
+                msg = (
+                    f"Epoch: {epoch:04d} training time (minutes)= "
+                    f"{duration / 60.0:.4f} loss= {loss:.9f}"
+                )
+                print(msg)
+                if log_file is not None:
+                    log_file.write(
+                        "%04d\t%.9f\t%.4f\n" % (epoch, loss, duration / 60.0)
+                    )
+
+            if conf.saver_step is not None and (
+                epoch % conf.saver_step == 0 or epoch == 1
+            ):
+                self.save(conf.train_dir, epoch)
+
+            if (
+                held_out_data is not None
+                and conf.held_out_step is not None
+                and epoch % conf.held_out_step == 0
+            ):
+                ho_loss, ho_dur = self._single_epoch(
+                    held_out_data, conf, only_fw=True
+                )
+                print(
+                    f"Held Out Data : forward time (minutes)= "
+                    f"{ho_dur / 60.0:.4f} loss= {ho_loss:.9f}"
+                )
+                if log_file is not None:
+                    log_file.write(
+                        "On Held_Out: %04d\t%.9f\t%.4f\n"
+                        % (epoch, ho_loss, ho_dur / 60.0)
+                    )
+        return stats
+
+    # --- checkpointing ----------------------------------------------------
+    def save(self, train_dir, epoch=None):
+        epoch = int(self.state.epoch) if epoch is None else epoch
+        tree = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "epoch": epoch,
+        }
+        return ckpt.save_checkpoint(train_dir, epoch, tree)
+
+    def restore(self, train_dir, epoch=None):
+        if epoch is None:
+            epoch = ckpt.latest_epoch(train_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {train_dir}")
+        tree = ckpt.restore_checkpoint(train_dir, epoch)
+        self.state = self.state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            epoch=jnp.asarray(tree["epoch"], jnp.int32),
+        )
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        return self
+
+
+def build_trainer_from_checkpoint(
+    conf: Configuration, train_dir: str, epoch: int | None = None, mesh=None
+) -> AETrainer:
+    trainer = AETrainer(conf, mesh=mesh)
+    trainer.restore(train_dir, epoch)
+    return trainer
