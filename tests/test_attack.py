@@ -1,0 +1,289 @@
+"""Attack core: scan parity vs an explicit reference-style loop, plus
+pipeline helpers and the pairwise chamfer matrix job."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometric_adv_tpu.attack.core import (
+    AttackRunner,
+    attack_batch,
+    init_pert,
+    make_attack_loss,
+    _tf_adam_update,
+)
+from geometric_adv_tpu.attack.pipeline import (
+    get_rand_idx,
+    latent_dist_matrix,
+    prepare_data_for_attack,
+    sort_dist_mat,
+)
+from geometric_adv_tpu.models import PointNetAE
+from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+from geometric_adv_tpu.parallel import get_mesh
+from geometric_adv_tpu.train import AETrainer, Configuration
+
+
+def tiny_model(n=32, bneck=8, seed=0):
+    model = PointNetAE(
+        n_points=n, bneck_size=bneck, encoder_filters=[16, bneck],
+        decoder_sizes=[16, 16],
+    )
+    variables = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, n, 3)), train=False
+    )
+    encode = lambda x: model.apply(  # noqa: E731
+        variables, x, train=False, method=PointNetAE.encode
+    )
+    decode = lambda z: model.apply(  # noqa: E731
+        variables, z, train=False, method=PointNetAE.decode
+    )
+    return model, variables, encode, decode
+
+
+def reference_attack_loop(
+    encode, decode, x, target_z, gt, loss_ref, dist_weight,
+    num_iterations, thresh, lr,
+):
+    """Literal transcription of the reference's per-iteration session loop
+    (reference: src/adv_ae.py:209-246): update pert, read post-update
+    metrics, record best from iteration >= thresh by strict <."""
+    forward = make_attack_loss(
+        encode, decode, "chamfer", "chamfer", "chamfer", 0.0, 0.0
+    )
+    b, n, _ = x.shape
+    pert = init_pert((b, n, 3))
+    m = jnp.zeros_like(pert)
+    v = jnp.zeros_like(pert)
+    best_tre = np.full(b, 1e10, np.float32)
+    best_metrics = np.zeros((b, 4), np.float32)
+    best_adv = np.zeros_like(np.asarray(x))
+    best_recon = None
+    grad_fn = jax.jit(jax.value_and_grad(forward, has_aux=True))
+    for iteration in range(num_iterations):
+        (_, _), g = grad_fn(pert, x, target_z, gt, dist_weight)
+        step, m, v = _tf_adam_update(
+            g, m, v, jnp.float32(iteration + 1), lr
+        )
+        pert = pert - step
+        (_, aux), _ = grad_fn(pert, x, target_z, gt, dist_weight)
+        if iteration + 1 >= thresh:
+            tre = np.asarray(aux["t_re"])
+            for j in range(b):
+                if tre[j] < best_tre[j]:
+                    best_tre[j] = tre[j]
+                    best_metrics[j] = [
+                        np.asarray(aux["loss_adv"])[j],
+                        np.asarray(aux["loss_dist"])[j],
+                        np.asarray(aux["source_chamfer"])[j],
+                        tre[j] / loss_ref[j],
+                    ]
+                    best_adv[j] = np.asarray(aux["adv"])[j]
+                    if best_recon is None:
+                        best_recon = np.zeros(
+                            (b,) + np.asarray(aux["recon"]).shape[1:],
+                            np.float32,
+                        )
+                    best_recon[j] = np.asarray(aux["recon"])[j]
+    return (
+        np.concatenate([best_metrics, best_tre[:, None]], -1),
+        best_adv,
+        best_recon,
+    )
+
+
+def test_scan_attack_matches_reference_loop(rng):
+    """The single-scan attack must reproduce the reference's loop semantics
+    (post-update metric reads, >= thresh recording window, strict-< best)."""
+    _, _, encode, decode = tiny_model()
+    b, n = 3, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32)
+    target_z = np.asarray(encode(gt))
+    loss_ref = rng.rand(b).astype(np.float32) + 0.5
+
+    num_iter, thresh, lr = 20, 12, 0.01
+    ref_metrics, ref_adv, ref_recon = reference_attack_loop(
+        encode, decode, x, target_z, gt, loss_ref, 1.0, num_iter, thresh, lr
+    )
+    out = attack_batch(
+        encode, decode, x, target_z, gt, loss_ref,
+        np.array([1.0], np.float32),
+        num_iterations=num_iter, num_iterations_thresh=thresh,
+        learning_rate=lr,
+    )
+    np.testing.assert_allclose(out.metrics[0], ref_metrics, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(out.pc_input[0], ref_adv, atol=1e-5)
+    np.testing.assert_allclose(out.pc_recon[0], ref_recon, atol=1e-5)
+
+
+def test_attack_reduces_target_recon_error(rng):
+    """After optimization the adv input must reconstruct closer to the
+    target than the clean source does (the attack's raison d'etre)."""
+    _, _, encode, decode = tiny_model()
+    b, n = 4, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = np.roll(x, 1, axis=0) + 0.3
+    target_z = np.asarray(encode(gt))
+    loss_ref = np.ones(b, np.float32)
+
+    from geometric_adv_tpu.ops import chamfer_loss_per_pc
+
+    clean_tre = np.asarray(chamfer_loss_per_pc(np.asarray(decode(encode(x))), gt))
+    out = attack_batch(
+        encode, decode, x, target_z, gt, loss_ref,
+        np.array([0.1], np.float32),
+        num_iterations=150, num_iterations_thresh=100, learning_rate=0.02,
+    )
+    best_tre = np.asarray(out.metrics[0, :, 4])
+    assert np.all(best_tre < clean_tre), (best_tre, clean_tre)
+
+
+def test_latent_attack_variant(rng):
+    _, _, encode, decode = tiny_model()
+    b, n = 2, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32) + 0.5
+    target_z = np.asarray(encode(gt))
+    out = attack_batch(
+        encode, decode, x, target_z, gt, np.ones(b, np.float32),
+        np.array([1.0], np.float32),
+        num_iterations=100, num_iterations_thresh=50, learning_rate=0.02,
+        loss_adv_type="latent", loss_dist_type="pert",
+    )
+    # latent loss_adv column must be the z-space distance, decreasing
+    z_final = np.asarray(encode(out.pc_input[0]))
+    d_final = np.linalg.norm(z_final - target_z, axis=1)
+    d_init = np.linalg.norm(np.asarray(encode(x)) - target_z, axis=1)
+    assert np.all(d_final < d_init)
+
+
+def test_multi_weight_vmap_matches_sequential(rng):
+    _, _, encode, decode = tiny_model()
+    b, n = 2, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32)
+    target_z = np.asarray(encode(gt))
+    ref = np.ones(b, np.float32)
+    kw = dict(num_iterations=15, num_iterations_thresh=10, learning_rate=0.01)
+
+    both = attack_batch(
+        encode, decode, x, target_z, gt, ref,
+        np.array([0.5, 2.0], np.float32), **kw
+    )
+    for wi, w in enumerate([0.5, 2.0]):
+        single = attack_batch(
+            encode, decode, x, target_z, gt, ref,
+            np.array([w], np.float32), **kw
+        )
+        np.testing.assert_allclose(
+            both.metrics[wi], single.metrics[0], rtol=1e-5, atol=1e-7
+        )
+
+
+def test_attack_runner_sharded_matches_single(rng, tmp_path):
+    """AttackRunner over the 8-device mesh == single device, bitwise-ish."""
+    n = 32
+    conf = Configuration(
+        n_input=[n, 3], bneck_size=8, encoder_filters=[16, 8],
+        decoder_sizes=[16, 16], batch_size=8, num_iterations=10,
+        num_iterations_thresh=5, learning_rate=0.01,
+        dist_weight_list=[1.0], train_dir=str(tmp_path),
+    )
+    trainer = AETrainer(conf)
+    b = 16
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32)
+    tz = trainer.get_latent_vectors(gt)
+    ref = np.ones(b, np.float32)
+
+    single = AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats, conf
+    ).attack(x, tz, gt, ref)
+    sharded = AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats, conf,
+        mesh=get_mesh(),
+    ).attack(x, tz, gt, ref)
+    np.testing.assert_allclose(
+        single.metrics, sharded.metrics, rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(single.pc_input, sharded.pc_input, atol=1e-5)
+
+
+# ---------------- pipeline helpers ----------------
+def test_prepare_data_for_attack_semantics(rng):
+    """3 classes x 4 instances; select 2 sources/class, 2 targets/pair."""
+    n_cls, per_cls, n_pts = 3, 4, 8
+    slice_idx = [0, 4, 8, 12]
+    pc_classes = np.array(["a", "b", "c"])
+    data = rng.rand(12, n_pts, 3).astype(np.float32)
+    attack_pc_idx = np.tile(np.array([[0, 2]]), (n_cls, 1))
+    # nn_idx rows: source-local x target-local ascending identity
+    nn_idx = np.tile(np.arange(per_cls, dtype=np.int16), (12, 3))
+    nn_idx = nn_idx.reshape(12, 12)
+
+    src, tgt = prepare_data_for_attack(
+        pc_classes, ["a"], list(pc_classes), data, slice_idx,
+        attack_pc_idx, 2, nn_idx, None,
+    )
+    # 2 sources x (2 target classes x 2 targets) = 8 rows
+    assert src.shape == (8, n_pts, 3)
+    assert tgt.shape == (8, n_pts, 3)
+    np.testing.assert_array_equal(src[0], data[0])
+    np.testing.assert_array_equal(src[4], data[2])
+    np.testing.assert_array_equal(tgt[0], data[4])  # class b, local idx 0
+    np.testing.assert_array_equal(tgt[1], data[5])  # class b, local idx 1
+    np.testing.assert_array_equal(tgt[2], data[8])  # class c, local idx 0
+
+
+def test_get_rand_idx_deterministic():
+    slice_idx = [0, 50, 120]
+    a = get_rand_idx(slice_idx, 10)
+    b = get_rand_idx(slice_idx, 10)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 10)
+    assert a.min() >= 0
+    # per-class local indices stay in range
+    assert a[0].max() < 50 and a[1].max() < 70
+
+
+def test_sort_dist_mat_blocks(rng):
+    slice_idx = [0, 3, 7]
+    d = rng.rand(7, 7).astype(np.float32)
+    nn = sort_dist_mat(d, slice_idx)
+    blk = d[0:3, 3:7]
+    np.testing.assert_array_equal(nn[0:3, 3:7], np.argsort(blk, axis=1))
+    assert nn.dtype == np.int16
+
+
+def test_chamfer_distance_matrix(rng):
+    pcs = rng.rand(9, 24, 3).astype(np.float32)
+    mat = chamfer_distance_matrix(pcs, pair_block=16)
+    # brute force
+    from geometric_adv_tpu.ops import chamfer_loss_per_pc
+
+    for i in range(9):
+        for j in range(9):
+            ref = float(
+                chamfer_loss_per_pc(pcs[i : i + 1], pcs[j : j + 1])[0]
+            )
+            np.testing.assert_allclose(mat[i, j], ref, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(mat, mat.T, atol=0)
+    np.testing.assert_allclose(np.diag(mat), 0.0, atol=1e-7)
+
+
+def test_chamfer_distance_matrix_sharded(rng):
+    pcs = rng.rand(10, 16, 3).astype(np.float32)
+    single = chamfer_distance_matrix(pcs, pair_block=8)
+    sharded = chamfer_distance_matrix(pcs, pair_block=24, mesh=get_mesh())
+    np.testing.assert_allclose(single, sharded, atol=1e-6)
+
+
+def test_latent_dist_matrix(rng):
+    z = rng.rand(6, 4).astype(np.float32)
+    m = latent_dist_matrix(z)
+    np.testing.assert_allclose(
+        m[1, 3], np.linalg.norm(z[1] - z[3]), rtol=1e-6
+    )
+    np.testing.assert_allclose(m, m.T, atol=0)
