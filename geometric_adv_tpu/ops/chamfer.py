@@ -70,7 +70,24 @@ def _nn_one_side(sqd: Array) -> tuple[Array, Array]:
     return jnp.min(sqd, axis=-1), jnp.argmin(sqd, axis=-1).astype(jnp.int32)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _nn_distance_fwd_impl(xyz1: Array, xyz2: Array, method: str):
+    if method == "auto":
+        method = "pallas" if _on_tpu() else "direct"
+    if method == "pallas":
+        if _on_tpu():
+            from geometric_adv_tpu.ops.pallas.chamfer_kernel import (
+                nn_distance_pallas,
+            )
+
+            return nn_distance_pallas(xyz1, xyz2)
+        method = "direct"  # CPU fallback: same contract, pure XLA
     sqd = pairwise_sqdist(xyz1, xyz2, method=method)
     dist1, idx1 = _nn_one_side(sqd)
     dist2, idx2 = _nn_one_side(jnp.swapaxes(sqd, -1, -2))
@@ -79,7 +96,7 @@ def _nn_distance_fwd_impl(xyz1: Array, xyz2: Array, method: str):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def nn_distance(
-    xyz1: Array, xyz2: Array, method: str = "direct"
+    xyz1: Array, xyz2: Array, method: str = "auto"
 ) -> tuple[Array, Array, Array, Array]:
     """Bidirectional nearest-neighbor squared distances + indices.
 
@@ -104,6 +121,23 @@ def _nn_distance_bwd(method, res, cotangents):
     xyz1, xyz2, idx1, idx2 = res
     g_dist1, _, g_dist2, _ = cotangents  # index cotangents are zero/float0
 
+    if _on_tpu():
+        # Fully fused backward: gather + scatter as masked MXU matmuls
+        # (XLA's TPU gather/scatter serialize; see chamfer_bwd_kernel.py).
+        # grad2 is the same computation with the two clouds swapped; the
+        # unused direction is dead-code-eliminated by XLA.
+        from geometric_adv_tpu.ops.pallas.chamfer_bwd_kernel import (
+            chamfer_grad1_pallas,
+        )
+
+        grad1 = chamfer_grad1_pallas(
+            xyz1, xyz2, idx1, idx2, g_dist1, g_dist2
+        )
+        grad2 = chamfer_grad1_pallas(
+            xyz2, xyz1, idx2, idx1, g_dist2, g_dist1
+        )
+        return grad1, grad2
+
     # Forward pairs: (x1[i], x2[idx1[i]]) and (x2[j], x1[idx2[j]]).
     # d(dist)/dx = 2*(x - nn(x)); scatter-add the opposite endpoint
     # (reference: external/structural_losses/tf_nndistance.cpp:130-163).
@@ -116,6 +150,16 @@ def _nn_distance_bwd(method, res, cotangents):
     # grad_xyz1 = t1  - scatter_add of t2 at idx2
     # grad_xyz2 = t2  - scatter_add of t1 at idx1
     def scatter_add(target_like, idx, updates):
+        if _on_tpu():
+            # XLA's TPU scatter is serialized and dominated the attack step;
+            # the Pallas kernel does it as masked one-hot MXU matmuls.
+            from geometric_adv_tpu.ops.pallas.scatter_kernel import (
+                scatter_add_points_pallas,
+            )
+
+            return scatter_add_points_pallas(
+                idx, updates, target_like.shape[-2]
+            )
         zeros = jnp.zeros_like(target_like)
         # flatten leading batch dims for a single scatter
         flat_zeros = zeros.reshape((-1,) + zeros.shape[-2:])
@@ -134,7 +178,7 @@ def _nn_distance_bwd(method, res, cotangents):
 nn_distance.defvjp(_nn_distance_fwd, _nn_distance_bwd)
 
 
-def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "direct") -> Array:
+def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "auto") -> Array:
     """Per-cloud Chamfer distance: mean(d1) + mean(d2) of squared L2 NN dists.
 
     Matches the per-pc attack metric (reference: src/adv_ae.py:118-121) and,
@@ -145,7 +189,7 @@ def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "direct") -> Array
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 
 
-def chamfer_loss(pred: Array, gt: Array, method: str = "direct") -> Array:
+def chamfer_loss(pred: Array, gt: Array, method: str = "auto") -> Array:
     """Scalar Chamfer loss: mean over all points in the batch, both directions.
 
     reference: src/pointnet_ae.py:74-76 (reduce_mean over the full [b, n]

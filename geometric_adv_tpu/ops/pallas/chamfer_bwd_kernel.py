@@ -1,0 +1,169 @@
+"""Fused Pallas TPU kernel for the full nn_distance backward (grad wrt xyz1).
+
+The reference backward (external/structural_losses/tf_nndistance_g.cu:132-151)
+is: grad1[i] = 2*g1[i]*(x1[i] - x2[idx1[i]])  - scatter_add over j of
+2*g2[j]*(x2[j] - x1[idx2[j]]) at idx2[j].
+
+On TPU both the gather and the scatter serialize badly in XLA. Two
+identities turn the whole thing into MXU matmuls:
+
+- gather as one-hot contraction: x2[idx1[k]] = sum_j [idx1[k]==j] * x2[j];
+- the scattered term's gather disappears algebraically:
+  scatter(g2 * x1[idx2], idx2)[i] = x1[i] * scatter(g2, idx2)[i]
+  (because idx2[j]==i implies x1[idx2[j]] == x1[i]).
+
+So per (n-tile, m-tile): build two boolean masks in VMEM and do two
+[8, MT] @ [MT, NT] matmuls — one contracting x2^T against the idx1 one-hot
+(the gather), one contracting [2*g2*x2^T ; 2*g2] against the idx2 one-hot
+(the scatter + its count row). Everything stays in VMEM; grad1 is written
+transposed ([3, n]) and flipped back in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(size_padded: int) -> int:
+    for t in (1024, 512, 256):
+        if size_padded % t == 0:
+            return t
+    return 256
+
+
+def _round_up(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
+def _bwd_kernel(
+    x1t_ref,  # [8, NT]  rows 0-2: x1^T          (one n-tile via grid)
+    g1_ref,  # [1, NT]  2*g1
+    idx1_ref,  # [1, NT]
+    x2t_ref,  # [8, m]  rows 0-2: x2^T
+    b2_ref,  # [8, m]  rows 0-2: 2*g2*x2^T, row 3: 2*g2
+    idx2_ref,  # [m, 1]
+    out_ref,  # [8, NT]  rows 0-2: grad1^T
+    *, m, tile_n, tile_m,
+):
+    # n-tiles are grid steps so idx1/g1/x1t slices arrive at lane offset 0
+    # (Mosaic cannot sublane-broadcast a lane-offset row vector).
+    base = pl.program_id(1) * tile_n
+    acc_a = jnp.zeros((8, tile_n), jnp.float32)  # gathered x2^T
+    acc_b = jnp.zeros((8, tile_n), jnp.float32)  # scatter + count
+    idx1_row = idx1_ref[0]  # [1, NT]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
+    for mi in range(m // tile_m):
+        msl = slice(mi * tile_m, (mi + 1) * tile_m)
+        # gather mask^T [MT, NT]: idx1[base+k] == mi*TILE_M + j
+        mask_a = (idx1_row == mi * tile_m + row_ids).astype(jnp.float32)
+        acc_a = acc_a + jnp.dot(
+            x2t_ref[0][:, msl], mask_a,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # scatter mask^T [MT, NT]: idx2[mi*TILE_M + j] == base + k
+        idx2_col = idx2_ref[0][msl, :]  # [MT, 1]
+        mask_b = (idx2_col == base + col_ids).astype(jnp.float32)
+        acc_b = acc_b + jnp.dot(
+            b2_ref[0][:, msl], mask_b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    x1t = x1t_ref[0]  # [8, NT]
+    g1row = g1_ref[0]  # [1, NT]
+    cnt = acc_b[3:4, :]  # [1, NT] = sum of 2*g2 scattered here
+    out_ref[0] = g1row * (x1t - acc_a) - acc_b + x1t * cnt
+
+
+@jax.jit
+def chamfer_grad1_pallas(xyz1, xyz2, idx1, idx2, g1, g2):
+    """grad of (sum g1*d1 + sum g2*d2) wrt xyz1, fully fused.
+
+    Shapes: xyz1 [..., n, 3], xyz2 [..., m, 3], idx1 [..., n], idx2 [..., m],
+    g1 [..., n], g2 [..., m] -> [..., n, 3].
+    """
+    lead = xyz1.shape[:-2]
+    n, m = xyz1.shape[-2], xyz2.shape[-2]
+    b = 1
+    for s in lead:
+        b *= s
+
+    n_pad = _round_up(max(n, 256), 256)
+    m_pad = _round_up(max(m, 256), 256)
+    tile_n = _pick_tile(n_pad)
+    tile_m = _pick_tile(m_pad)
+
+    def prep(a, rows, pad_to):
+        a = a.reshape((b, -1) + a.shape[len(lead) + 1 :])
+        pads = [(0, 0), (0, pad_to - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a.astype(jnp.float32), pads)
+
+    x1 = prep(xyz1, n, n_pad)  # [b, n_pad, 3]
+    x2 = prep(xyz2, m, m_pad)
+    g1p = prep(2.0 * g1, n, n_pad)  # [b, n_pad]
+    g2p = prep(2.0 * g2, m, m_pad)
+    # padded idx1 rows gather x2[0] with g1=0 -> no contribution;
+    # padded idx2 rows scatter to slot m_pad-ish... point them at n_pad-1
+    # with g2=0 -> zero update.
+    i1 = jnp.pad(
+        idx1.reshape((b, n)).astype(jnp.int32), ((0, 0), (0, n_pad - n))
+    )
+    i2 = jnp.pad(
+        idx2.reshape((b, m)).astype(jnp.int32),
+        ((0, 0), (0, m_pad - m)),
+        constant_values=n_pad - 1,
+    )
+
+    x1t = jnp.pad(jnp.swapaxes(x1, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    x2t = jnp.pad(jnp.swapaxes(x2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    b2 = jnp.concatenate(
+        [
+            jnp.swapaxes(x2, -1, -2) * g2p[:, None, :],  # [b, 3, m_pad]
+            g2p[:, None, :],  # count row
+            jnp.zeros((b, 4, m_pad), jnp.float32),
+        ],
+        axis=1,
+    )  # [b, 8, m_pad]
+    g1row = g1p[:, None, :]  # [b, 1, n_pad]
+    i1row = i1[:, None, :]  # [b, 1, n_pad]
+    i2col = i2[:, :, None]  # [b, m_pad, 1]
+
+    kernel = functools.partial(
+        _bwd_kernel, m=m_pad, tile_n=tile_n, tile_m=tile_m
+    )
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, 8, tile_n), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+            pl.BlockSpec((1, 8, m_pad), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 8, m_pad), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, m_pad, 1), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, tile_n), lambda i, j: (i, 0, j), memory_space=vm
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * 8 * m_pad * n_pad,
+            bytes_accessed=b * (n_pad + m_pad) * 40,
+            transcendentals=0,
+        ),
+    )(x1t, g1row, i1row, x2t, b2, i2col)
+
+    return jnp.swapaxes(out[:, :3, :n], -1, -2).reshape(lead + (n, 3))
