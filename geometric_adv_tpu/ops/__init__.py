@@ -7,6 +7,7 @@ TPU-native equivalents of the reference's three CUDA op libraries
 from geometric_adv_tpu.ops.chamfer import (
     chamfer_loss,
     chamfer_loss_per_pc,
+    fscore,
     nn_distance,
     pairwise_sqdist,
 )
@@ -19,6 +20,7 @@ from geometric_adv_tpu.ops.grouping import (
 )
 
 __all__ = [
+    "fscore",
     "nn_distance",
     "pairwise_sqdist",
     "chamfer_loss",

@@ -197,3 +197,22 @@ def chamfer_loss(pred: Array, gt: Array, method: str = "auto") -> Array:
     """
     d1, _, d2, _ = nn_distance(pred, gt, method)
     return jnp.mean(d1) + jnp.mean(d2)
+
+
+def fscore(
+    dist1: Array, dist2: Array, threshold: float = 0.001
+) -> tuple[Array, Array, Array]:
+    """F-score of two clouds from their squared NN distances.
+
+    reference: transfer/atlasnet/auxiliary/ChamferDistancePytorch/fscore.py:
+    3-16 — precision_i = fraction of points with squared dist < threshold;
+    fscore = harmonic mean, 0 where undefined.
+    """
+    precision_1 = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=-1)
+    precision_2 = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=-1)
+    denom = precision_1 + precision_2
+    f = jnp.where(
+        denom > 0, 2 * precision_1 * precision_2 / jnp.maximum(denom, 1e-12),
+        0.0,
+    )
+    return f, precision_1, precision_2

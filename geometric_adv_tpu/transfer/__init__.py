@@ -1,0 +1,10 @@
+"""Transfer autoencoders (AtlasNet, FoldingNet, PointNet) used to evaluate
+attack transferability (reference: transfer/run_transfer.py)."""
+
+from geometric_adv_tpu.transfer.trainers import (
+    AtlasNetTrainer,
+    FoldingNetTrainer,
+    get_transfer_ae,
+)
+
+__all__ = ["AtlasNetTrainer", "FoldingNetTrainer", "get_transfer_ae"]
