@@ -25,3 +25,20 @@ The reference implementation (TF1 + CUDA custom ops) is cited throughout as
 """
 
 __version__ = "0.1.0"
+
+# Restore standard JAX platform-selection semantics: some environments (the
+# axon TPU relay) register their PJRT plugin from sitecustomize and force
+# jax_platforms at interpreter startup, stomping an explicit JAX_PLATFORMS
+# env var. If the user asked for a platform via the env var, honor it.
+import os as _os  # noqa: E402
+
+_requested_platforms = _os.environ.get("JAX_PLATFORMS")
+if _requested_platforms:
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _requested_platforms:
+            _jax.config.update("jax_platforms", _requested_platforms)
+    except Exception:
+        pass
+del _os

@@ -65,6 +65,11 @@ def prepare_data_for_attack(
             nn_idx_s_t = nn_idx_mat[
                 slice_idx[i]:slice_idx[i + 1], slice_idx[j]:slice_idx[j + 1]
             ]
+            assert nn_idx_s_t.shape[1] >= num_pc_for_target, (
+                f"target class {target_class_name!r} has only "
+                f"{nn_idx_s_t.shape[1]} examples but num_pc_for_target="
+                f"{num_pc_for_target}; use a larger dataset or fewer targets"
+            )
             nn_idx_for_attack = nn_idx_s_t[source_attack_idx].copy()
             if correct_pred is not None:
                 nn_idx_for_attack = get_idx_for_correct_pred(

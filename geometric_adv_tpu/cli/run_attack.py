@@ -1,0 +1,131 @@
+"""Run the geometric adversarial attack (reference: attacker/run_attack.py).
+
+Per source class: assemble the source/target pair grid, run the scanned
+attack over all dist weights, save the per-class artifacts
+(adversarial_metrics / _pc_input / _pc_recon / dist_weight)."""
+
+import argparse
+import os.path as osp
+
+import numpy as np
+
+from geometric_adv_tpu.attack.core import AttackRunner
+from geometric_adv_tpu.cli.common import AttackContext, ensure_dir, restore_victim
+from geometric_adv_tpu.parallel import get_mesh
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--learning_rate", type=float, default=0.01)
+    parser.add_argument("--loss_dist_type", type=str, default="chamfer")
+    parser.add_argument("--loss_adv_type", type=str, default="chamfer")
+    parser.add_argument("--dist_weight_list", nargs="+", default=[1.0])
+    parser.add_argument("--max_point_pert_weight", type=float, default=0.0)
+    parser.add_argument("--max_point_dist_weight", type=float, default=0.0)
+    parser.add_argument("--num_iterations", type=int, default=500)
+    parser.add_argument("--num_iterations_thresh", type=int, default=400)
+    parser.add_argument(
+        "--batch_size", type=int, default=0,
+        help="pairs per jitted attack call; 0 = the whole class grid at once",
+    )
+    parser.add_argument("--ae_folder", type=str, default="log/autoencoder_victim")
+    parser.add_argument("--restore_epoch", type=int, default=None)
+    parser.add_argument("--attack_pc_idx", type=str, required=True)
+    parser.add_argument(
+        "--target_pc_idx_type", type=str, default="chamfer_nn_complete"
+    )
+    parser.add_argument("--num_pc_for_attack", type=int, default=25)
+    parser.add_argument("--num_pc_for_target", type=int, default=5)
+    parser.add_argument("--correct_pred_only", type=int, default=0)
+    parser.add_argument("--output_folder_name", type=str, default="attack_res")
+    parser.add_argument("--project_dir", type=str, default=".")
+    parser.add_argument("--use_mesh", type=int, default=1)
+    flags = parser.parse_args()
+    print("Run attack flags:", flags)
+
+    assert flags.loss_dist_type in ("pert", "chamfer")
+    assert flags.loss_adv_type in ("latent", "chamfer")
+    assert flags.num_iterations_thresh <= flags.num_iterations
+    assert flags.target_pc_idx_type in ("latent_nn", "chamfer_nn_complete")
+
+    ctx = AttackContext(
+        flags.project_dir, flags.ae_folder,
+        attack_pc_idx=flags.attack_pc_idx,
+        num_pc_for_attack=flags.num_pc_for_attack,
+    )
+    conf = ctx.conf
+    # attack-config mutation (reference: run_attack.py:83-109); BN stays
+    # frozen by construction (eval mode) — the b_norm_decay=1.0 analog.
+    conf.ae_dir = ctx.ae_dir
+    conf.ae_name = "autoencoder"
+    conf.ae_restore_epoch = flags.restore_epoch
+    conf.experiment_name = "adversary"
+    conf.learning_rate = flags.learning_rate
+    conf.loss_dist_type = flags.loss_dist_type
+    conf.loss_adv_type = flags.loss_adv_type
+    conf.dist_weight_list = [float(w) for w in flags.dist_weight_list]
+    conf.max_point_pert_weight = flags.max_point_pert_weight
+    conf.max_point_dist_weight = flags.max_point_dist_weight
+    conf.target_pc_idx_type = flags.target_pc_idx_type
+    conf.num_pc_for_attack = flags.num_pc_for_attack
+    conf.num_pc_for_target = flags.num_pc_for_target
+    conf.correct_pred_only = bool(flags.correct_pred_only)
+    conf.num_iterations = flags.num_iterations
+    conf.num_iterations_thresh = flags.num_iterations_thresh
+
+    output_path = ensure_dir(osp.join(ctx.data_path, flags.output_folder_name))
+    conf.train_dir = output_path
+    conf.save(osp.join(output_path, "attack_configuration"))
+
+    # rebuild context so nn_idx matches the chosen target_pc_idx_type
+    ctx.conf = conf
+    from geometric_adv_tpu.cli.common import NN_IDX_DICT
+    from geometric_adv_tpu.utils.artifacts import load_data
+
+    ctx.nn_idx = load_data(
+        ctx.data_path, ctx.files, [NN_IDX_DICT[conf.target_pc_idx_type]]
+    )
+
+    import jax
+
+    mesh = get_mesh() if flags.use_mesh and len(jax.devices()) > 1 else None
+    victim = restore_victim(conf, ctx.ae_dir, flags.restore_epoch, mesh=mesh)
+    runner = AttackRunner(
+        victim.model, victim.state.params, victim.state.batch_stats, conf,
+        mesh=mesh,
+    )
+
+    for i, pc_class_name in ctx.classes_iter():
+        print(f"attack shape class {pc_class_name} "
+              f"({i + 1} of {len(ctx.pc_classes)})")
+        save_dir = ensure_dir(osp.join(output_path, pc_class_name))
+
+        source_pc, target_pc = ctx.class_attack_data(
+            pc_class_name, ctx.point_clouds
+        )
+        _, target_latent = ctx.class_attack_data(
+            pc_class_name, ctx.latent_vectors
+        )
+        _, target_ae_loss_ref = ctx.class_attack_data(
+            pc_class_name, ctx.ae_loss
+        )
+        target_ae_loss_ref = target_ae_loss_ref.reshape(-1)
+
+        with open(osp.join(save_dir, "attack_stats.txt"), "a", 1) as fout:
+            fout.write(f"Attack flags: {flags}\n")
+            out = runner.attack(
+                source_pc, target_latent, target_pc, target_ae_loss_ref,
+                batch_size=flags.batch_size or None, log_file=fout,
+            )
+
+        np.save(osp.join(save_dir, "adversarial_metrics"), out.metrics)
+        np.save(osp.join(save_dir, "adversarial_pc_input"), out.pc_input)
+        np.save(osp.join(save_dir, "adversarial_pc_recon"), out.pc_recon)
+        np.save(
+            osp.join(save_dir, "dist_weight"),
+            np.array(conf.dist_weight_list),
+        )
+
+
+if __name__ == "__main__":
+    main()

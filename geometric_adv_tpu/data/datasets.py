@@ -86,9 +86,33 @@ def split_data(data, split=(0.85, 0.05, 0.10), seed=42, perm=None):
     return data[:train_end], data[train_end:val_end], data[val_end:], perm
 
 
-def load_point_clouds_from_filenames(file_names, n_threads=8, loader=None):
+def load_point_clouds_from_filenames(
+    file_names, n_threads=8, loader=None, use_native=True
+):
     """Parallel bulk load (reference: src/in_out.py:172-191, which uses a
-    process Pool; PLY parsing here is numpy-vectorised so threads suffice)."""
+    process Pool of python parsers). Fast path: the native C++ batch loader
+    (geometric_adv_tpu.native) parses all files into one contiguous buffer
+    with a thread pool; falls back to python threads if unavailable or if a
+    custom loader is given."""
+    if loader is None and use_native:
+        from geometric_adv_tpu.native import get_module
+
+        native = get_module()
+        if native is not None:
+            buf, n_files, n_vertex = native.load_batch(
+                list(file_names), int(n_threads)
+            )
+            pclouds = np.frombuffer(buf, dtype=np.float32).reshape(
+                n_files, n_vertex, 3
+            ).copy()
+            model_names = np.empty(len(file_names), dtype=object)
+            class_ids = np.empty(len(file_names), dtype=object)
+            for i, f_name in enumerate(file_names):
+                tokens = f_name.split("/")
+                model_names[i] = tokens[-1].split(".")[0]
+                class_ids[i] = tokens[-2]
+            return pclouds, model_names, class_ids
+
     loader = loader or _pc_loader
     first_pc = loader(file_names[0])[0]
     pclouds = np.empty(

@@ -1,0 +1,86 @@
+#!/bin/bash
+# Full pipeline orchestration (the reference's runner_*.sh scripts rolled
+# into one; each stage can also be run individually).
+#
+# Usage: bash runner_pipeline.sh [quick|full]
+#   quick: small synthetic dataset + short training, for smoke runs
+#   full:  reference-scale settings (2048 pts, 500 epochs, 25 sources, ...)
+set -e
+
+MODE=${1:-quick}
+PY="python -m"
+
+if [ "$MODE" = "quick" ]; then
+  N_POINTS=512; N_PER_CLASS=30; EPOCHS=40; CLS_EPOCHS=30; TR_EPOCHS=40
+  NUM_ATTACK=4; NUM_TARGET=2; ITERS=250; THRESH=200; SEL=10
+  DATA=data/synthetic_512
+  CLASS_ARGS="--class_names sphere cube torus cone"
+else
+  N_POINTS=2048; N_PER_CLASS=40; EPOCHS=500; CLS_EPOCHS=150; TR_EPOCHS=150
+  NUM_ATTACK=25; NUM_TARGET=5; ITERS=500; THRESH=400; SEL=100
+  DATA=data/synthetic_2048
+  CLASS_ARGS=""
+fi
+
+AE=log/autoencoder_victim
+SEL_IDX=$AE/eval/sel_idx_rand_${SEL}_test_set_13l.npy
+
+# 0. dataset (synthetic stand-in for ShapeNetCore; no egress)
+$PY geometric_adv_tpu.cli.make_synthetic_data \
+  --data_folder $DATA --n_points $N_POINTS --n_per_class $N_PER_CLASS \
+  $CLASS_ARGS
+
+# 1. victim AE (runner_ae_for_attack.sh)
+if [ "$MODE" = "quick" ]; then BS_ARG="--batch_size 24"; else BS_ARG=""; fi
+$PY geometric_adv_tpu.cli.train_ae --data_folder $DATA $CLASS_ARGS $BS_ARG \
+  --n_points $N_POINTS --training_epochs $EPOCHS --train_folder $AE
+$PY geometric_adv_tpu.cli.tst_ae --data_folder $DATA --train_folder $AE
+
+# 2. attack indices (runner_indices_for_attack.sh)
+$PY geometric_adv_tpu.cli.prepare_indices_for_attack --ae_folder $AE \
+  --get_rand_idx 1 --get_latent_nn_idx 1 --get_chamfer_nn_idx 1 \
+  --num_instance_per_class $SEL
+
+# 3. attack + analysis (runner_attacker.sh)
+$PY geometric_adv_tpu.cli.run_attack --ae_folder $AE --attack_pc_idx $SEL_IDX \
+  --num_pc_for_attack $NUM_ATTACK --num_pc_for_target $NUM_TARGET \
+  --num_iterations $ITERS --num_iterations_thresh $THRESH
+$PY geometric_adv_tpu.cli.get_dists_per_point --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.evaluate_attack --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+
+# 4. defenses (runner_defender.sh)
+$PY geometric_adv_tpu.cli.run_defense_critical --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.evaluate_defense --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --defense_folder defense_critical_res
+$PY geometric_adv_tpu.cli.get_knn_dists_per_point --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.run_defense_surface --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.evaluate_defense --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --defense_folder defense_surface_res
+
+# 5. classifier (runner_classifier.sh)
+$PY geometric_adv_tpu.cli.train_classifier --ae_folder $AE \
+  --data_folder $DATA --max_epoch $CLS_EPOCHS --bn_momentum 0.7
+$PY geometric_adv_tpu.cli.tst_classifier --ae_folder $AE
+$PY geometric_adv_tpu.cli.run_classifier --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --data_type adversarial
+$PY geometric_adv_tpu.cli.run_classifier --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --data_type target
+$PY geometric_adv_tpu.cli.evaluate_classifier --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --data_type adversarial \
+  --classification_type hit_target
+
+# 6. transfer (runner_transfer.sh + runner_atlasnet/foldingnet.sh)
+$PY geometric_adv_tpu.cli.train_transfer --ae_type atlasnet \
+  --ae_folder $AE --data_folder $DATA --epochs $TR_EPOCHS --bn_momentum 0.7
+$PY geometric_adv_tpu.cli.run_transfer --transfer_ae_type AtlasNet \
+  --transfer_ae_folder log/atlasnet_for_transfer --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.evaluate_transfer --transfer_ae_type AtlasNet \
+  --ae_folder $AE --attack_pc_idx $SEL_IDX
+
+echo "PIPELINE COMPLETE"

@@ -1,0 +1,137 @@
+"""End-to-end CLI pipeline smoke test at tiny scale.
+
+Runs the actual stage CLIs as subprocesses (like a user would) against a
+tiny synthetic dataset and checks the artifact contract between stages.
+"""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def run_cli(module, *args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run(
+        [sys.executable, "-m", f"geometric_adv_tpu.cli.{module}", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, (
+        f"{module} failed:\nSTDOUT:\n{result.stdout[-3000:]}\n"
+        f"STDERR:\n{result.stderr[-3000:]}"
+    )
+    return result.stdout
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline"))
+
+
+def test_full_pipeline(pipeline_dir):
+    d = pipeline_dir
+    ae = "log/autoencoder_victim"
+    sel = f"{ae}/eval/sel_idx_rand_4_test_set_13l.npy"
+    common = ["--project_dir", d]
+
+    # 40/class -> 34/2/4 train/val/test split: enough test examples for
+    # 2 sources x 2 NN targets per class
+    run_cli("make_synthetic_data", *common, "--data_folder", "data/tiny",
+            "--class_names", "sphere", "cube", "torus",
+            "--n_per_class", "40", "--n_points", "64")
+
+    run_cli("train_ae", *common, "--data_folder", "data/tiny",
+            "--n_points", "64", "--bneck_size", "16", "--batch_size", "10",
+            "--training_epochs", "3", "--train_folder", ae)
+    assert osp.exists(osp.join(d, ae, "configuration.json"))
+    assert osp.exists(osp.join(d, ae, "train_stats.txt"))
+
+    run_cli("tst_ae", *common, "--data_folder", "data/tiny",
+            "--train_folder", ae)
+    eval_dir = osp.join(d, ae, "eval")
+    for base in ("point_clouds_test_set_13l.npy",
+                 "latent_vectors_test_set_13l.npy",
+                 "reconstructions_test_set_13l.npy",
+                 "ae_loss_test_set_13l.npy", "slice_idx_test_set_13l.npy",
+                 "pc_classes_13l.npy", "pc_label_test_set_13l.npy"):
+        assert osp.exists(osp.join(eval_dir, base)), base
+
+    run_cli("prepare_indices_for_attack", *common, "--ae_folder", ae,
+            "--get_rand_idx", "1", "--get_latent_nn_idx", "1",
+            "--get_chamfer_nn_idx", "1", "--num_instance_per_class", "4")
+    assert osp.exists(osp.join(eval_dir, "chamfer_nn_idx_complete_test_set_13l.npy"))
+
+    run_cli("run_attack", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--num_pc_for_attack", "2",
+            "--num_pc_for_target", "2", "--num_iterations", "5",
+            "--num_iterations_thresh", "3", "--use_mesh", "0")
+    attack_dir = osp.join(eval_dir, "attack_res")
+    m = np.load(osp.join(attack_dir, "sphere", "adversarial_metrics.npy"))
+    assert m.shape == (1, 8, 5)  # 2 sources x 2 target classes x 2 targets
+
+    run_cli("get_dists_per_point", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    run_cli("evaluate_attack", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    assert osp.exists(
+        osp.join(attack_dir, "sphere", "analysis_results",
+                 "source_target_norm_min_idx.npy")
+    )
+    stats = open(
+        osp.join(attack_dir, "over_classes", "eval_stats.txt")
+    ).read()
+    assert "S-CD" in stats and "over classes" in stats
+
+    run_cli("run_defense_critical", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    dm = np.load(
+        osp.join(attack_dir, "defense_critical_res", "sphere",
+                 "defense_metrics.npy")
+    )
+    assert dm.shape == (1, 8, 4)
+    run_cli("evaluate_defense", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--defense_folder",
+            "defense_critical_res")
+
+    run_cli("get_knn_dists_per_point", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    run_cli("run_defense_surface", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    run_cli("evaluate_defense", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--defense_folder", "defense_surface_res")
+
+    run_cli("train_classifier", *common, "--ae_folder", ae,
+            "--data_folder", "data/tiny", "--max_epoch", "2",
+            "--batch_size", "8")
+    assert osp.exists(osp.join(eval_dir, "pc_pred_labels_test_set_13l.npy"))
+    run_cli("tst_classifier", *common, "--ae_folder", ae)
+    run_cli("run_classifier", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--data_type", "adversarial")
+    run_cli("evaluate_classifier", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--data_type", "adversarial",
+            "--classification_type", "hit_target")
+
+    run_cli("train_transfer", *common, "--ae_type", "atlasnet",
+            "--ae_folder", ae, "--data_folder", "data/tiny",
+            "--epochs", "2", "--batch_size", "8", "--number_points", "64")
+    run_cli("run_transfer", *common, "--transfer_ae_type", "AtlasNet",
+            "--transfer_ae_folder", "log/atlasnet_for_transfer",
+            "--ae_folder", ae, "--attack_pc_idx", sel)
+    tm = np.load(
+        osp.join(attack_dir, "transfer_res_atlasnet", "sphere",
+                 "transfer_metrics.npy")
+    )
+    assert tm.shape == (1, 8, 4)
+    run_cli("evaluate_transfer", *common, "--transfer_ae_type", "AtlasNet",
+            "--ae_folder", ae, "--attack_pc_idx", sel)
+    assert osp.exists(
+        osp.join(attack_dir, "transfer_res_atlasnet", "over_classes",
+                 "eval_stats.txt")
+    )
