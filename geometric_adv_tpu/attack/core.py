@@ -175,11 +175,16 @@ def attack_batch(
     max_point_pert_weight: float = 0.0,
     max_point_dist_weight: float = 0.0,
     pert_seed: int = 55,
+    track_by: str = "t_re",
 ) -> AttackOutputs:
     """Run the full attack for one batch of pairs, all dist_weights at once.
 
     Pure jittable function: call under jit (AttackRunner does) with the batch
-    axis sharded over the mesh.
+    axis sharded over the mesh. ``dist_weights`` may be [W] (scalar weight
+    per run, the standard attack) or [W, B] (per-example weights, used by
+    the binary-search variant). ``track_by`` selects the best-so-far key:
+    "t_re" (reference: src/adv_ae.py:239, the main attack) or "loss_dist"
+    (reference: src/adv_ae.py:283-290, the binary-search variant).
     """
     b, n, _ = source_pc.shape
     m = target_pc.shape[1]
@@ -201,13 +206,14 @@ def attack_batch(
             # Record the post-update metrics of reference iteration t
             # (this forward IS that iteration's metric read).
             record = t >= thresh
-            better = record & (aux["t_re"] < best["t_re"])  # strict <
+            key = aux[track_by]
+            better = record & (key < best["t_re"])  # strict <
             sel = lambda new, old: jnp.where(  # noqa: E731
                 better.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
             )
             t_nre = aux["t_re"] / target_ae_loss_ref
             new_best = {
-                "t_re": sel(aux["t_re"], best["t_re"]),
+                "t_re": sel(key, best["t_re"]),
                 "metrics": sel(
                     jnp.stack(
                         [aux["loss_adv"], aux["loss_dist"],
@@ -264,14 +270,15 @@ class AttackRunner:
         self._variables = variables
 
         def encode(x):
+            # losses/metrics stay f32 even when the AE computes in bf16
             return model.apply(
                 variables, x, train=False, method=PointNetAE.encode
-            )
+            ).astype(jnp.float32)
 
         def decode(z):
             return model.apply(
                 variables, z, train=False, method=PointNetAE.decode
-            )
+            ).astype(jnp.float32)
 
         self._attack_fn = jax.jit(
             partial(
@@ -350,3 +357,85 @@ class AttackRunner:
             np.concatenate([o.pc_input for o in outs], axis=1),
             np.concatenate([o.pc_recon for o in outs], axis=1),
         )
+
+
+def binary_search_attack(
+    encode: Callable[[Array], Array],
+    decode: Callable[[Array], Array],
+    source_pc: Array,
+    target_latent: Array,
+    target_pc: Array,
+    *,
+    init_dist_weight: float = 10.0,
+    upper_bound_dist_weight: float = 100.0,
+    binary_search_step: int = 10,
+    num_iterations: int = 500,
+    learning_rate: float = 0.01,
+    loss_adv_type: str = "chamfer",
+    loss_dist_type: str = "chamfer",
+    ae_loss_type: str = "chamfer",
+    attack_fn: Callable | None = None,
+):
+    """Per-example binary search over the dist weight
+    (reference: src/adv_ae.py:253-304, ``_attack_one_batch_binary_step``).
+
+    Each outer step re-runs the full scanned attack with per-example weights,
+    keeps the best (by loss_dist, strict <, recorded every iteration — the
+    variant's rule) and bisects: a step that matches the global best counts
+    as success and raises the lower bound, otherwise the upper bound drops
+    (reference: src/adv_ae.py:292-302).
+
+    Returns (out_best_adv_loss [B], out_best_dist [B], out_best_attack
+    [B, n, 3], final dist_weight [B]).
+    """
+    b = len(source_pc)
+    lower = np.zeros(b, np.float32)
+    weight = np.full(b, init_dist_weight, np.float32)
+    upper = np.full(b, upper_bound_dist_weight, np.float32)
+
+    out_best_adv = np.full(b, 1e10, np.float32)
+    out_best_dist = np.full(b, 1e10, np.float32)
+    out_best_attack = np.ones_like(np.asarray(source_pc, np.float32))
+
+    if attack_fn is None:
+        attack_fn = partial(
+            attack_batch,
+            encode,
+            decode,
+            num_iterations=num_iterations,
+            num_iterations_thresh=1,  # the variant records every iteration
+            learning_rate=learning_rate,
+            loss_adv_type=loss_adv_type,
+            loss_dist_type=loss_dist_type,
+            ae_loss_type=ae_loss_type,
+            track_by="loss_dist",
+        )
+        attack_fn = jax.jit(attack_fn)
+
+    ref = np.ones(b, np.float32)  # t_nre normalisation unused by this variant
+    for _ in range(binary_search_step):
+        out = attack_fn(
+            np.asarray(source_pc, np.float32),
+            np.asarray(target_latent, np.float32),
+            np.asarray(target_pc, np.float32),
+            ref,
+            weight[None, :],
+        )
+        best_adv = np.asarray(out.metrics)[0, :, 0]  # loss_adv at best dist
+        best_dist = np.asarray(out.metrics)[0, :, 1]
+        best_pc = np.asarray(out.pc_input)[0]
+
+        improved = best_dist < out_best_dist
+        out_best_dist = np.where(improved, best_dist, out_best_dist)
+        out_best_adv = np.where(improved, best_adv, out_best_adv)
+        out_best_attack = np.where(
+            improved[:, None, None], best_pc, out_best_attack
+        )
+
+        # success: this step's best matches the (updated) global best
+        success = best_dist <= out_best_dist
+        lower = np.where(success, np.maximum(lower, weight), lower)
+        upper = np.where(~success, np.minimum(upper, weight), upper)
+        weight = (lower + upper) / 2.0
+
+    return out_best_adv, out_best_dist, out_best_attack, weight

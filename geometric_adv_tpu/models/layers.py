@@ -56,6 +56,46 @@ class PointMLP(nn.Module):
         return x
 
 
+class ConvUpsampleDecoder(nn.Module):
+    """Per-point conv decoder with tile-upsampling between layers.
+
+    Mirrors ``decoder_with_convs_only`` (reference:
+    src/encoders_decoders.py:150-196): conv(k=1) -> [BN] -> ReLU per layer
+    (last layer linear, optional finishing BN), with optional
+    ``tf.tile``-style upsampling of the point axis after a layer. Unused by
+    the reference's main experiment path but part of its model-framework
+    surface.
+    """
+
+    features: Sequence[int]
+    upsample_sizes: Sequence[int | None] | None = None
+    use_bn: bool = True
+    bn_finish: bool = False
+    bn_momentum: float = 0.9
+    activation: Callable[[Array], Array] = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        n_layers = len(self.features)
+        for i, width in enumerate(self.features):
+            last = i == n_layers - 1
+            x = nn.Dense(width, dtype=self.dtype, name=f"conv_{i}")(x)
+            if (self.use_bn and not last) or (last and self.bn_finish):
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=self.bn_momentum,
+                    dtype=self.dtype,
+                    name=f"bn_{i}",
+                )(x)
+            if not last:
+                x = self.activation(x)
+            if self.upsample_sizes is not None and self.upsample_sizes[i]:
+                reps = self.upsample_sizes[i]
+                x = jnp.tile(x, (1,) * (x.ndim - 2) + (reps, 1))
+        return x
+
+
 class FCStack(nn.Module):
     """Fully-connected stack; the last layer is always linear.
 

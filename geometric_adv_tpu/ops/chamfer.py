@@ -82,11 +82,13 @@ def _nn_distance_fwd_impl(xyz1: Array, xyz2: Array, method: str):
         method = "pallas" if _on_tpu() else "direct"
     if method == "pallas":
         if _on_tpu():
-            from geometric_adv_tpu.ops.pallas.chamfer_kernel import (
-                nn_distance_pallas,
+            # v2: direct-difference VPU kernel — bit-exact vs the XLA direct
+            # path and ~5x faster than the MXU-expansion v1 at K=3.
+            from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
+                nn_distance_pallas_v2,
             )
 
-            return nn_distance_pallas(xyz1, xyz2)
+            return nn_distance_pallas_v2(xyz1, xyz2)
         method = "direct"  # CPU fallback: same contract, pure XLA
     sqd = pairwise_sqdist(xyz1, xyz2, method=method)
     dist1, idx1 = _nn_one_side(sqd)

@@ -1,0 +1,163 @@
+"""Direct-difference Pallas chamfer forward (VPU formulation).
+
+The v1 kernel (chamfer_kernel.py) computes distance tiles on the MXU via the
+norm expansion — but the contraction dim is 3 (padded to 8), so the 128-wide
+systolic array runs at ~6% occupancy, tripled again by f32 HIGHEST's 3-pass
+emulation. At K=3 the VPU is the right unit: this kernel computes
+``(x0-y0)^2 + (x1-y1)^2 + (x2-y2)^2`` directly from broadcast coordinate
+planes — exact f32, no matmul, ~8 VPU ops per element.
+
+Layout strategy (Mosaic constraint: sublane-broadcasting a lane-offset row
+fails): the m axis is a GRID dimension so each program's y-coordinate rows
+arrive at lane offset 0; x-coordinate columns may sit at sublane offsets
+(fine for lane-broadcast). d1/i1 accumulate across m-grid steps in revisited
+output blocks (TPU grids run sequentially); d2/i2 are owned per m-tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+_PAD_COORD = 1.0e9
+
+
+def _pick_tile(size_padded: int) -> int:
+    for t in (1024, 512, 256):
+        if size_padded % t == 0:
+            return t
+    return 256
+
+
+def _round_up(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
+def _nn_kernel_v2(
+    x_ref,  # (1, n, 3) full x per batch element
+    yt_ref,  # (1, 8, MT) y^T tile: rows 0-2 coords, offset 0 in lanes
+    d1_ref,  # (1, n, 1) accumulated across m-steps (revisited block)
+    i1_ref,  # (1, n, 1)
+    d2_ref,  # (1, 1, MT) owned by this m-step
+    i2_ref,  # (1, 1, MT)
+    *, n, tile_n, tile_m,
+):
+    mj = pl.program_id(1)
+    m_base = mj * tile_m
+
+    @pl.when(mj == 0)
+    def _init():
+        d1_ref[0] = jnp.full((n, 1), _BIG, jnp.float32)
+        i1_ref[0] = jnp.zeros((n, 1), jnp.int32)
+
+    y0 = yt_ref[0][0:1, :]  # [1, MT] lane-offset 0
+    y1 = yt_ref[0][1:2, :]
+    y2 = yt_ref[0][2:3, :]
+
+    cmin = jnp.full((1, tile_m), _BIG, jnp.float32)
+    carg = jnp.zeros((1, tile_m), jnp.int32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 0)
+
+    for ni in range(n // tile_n):
+        nsl = slice(ni * tile_n, (ni + 1) * tile_n)
+        xt = x_ref[0][nsl, :]  # [NT, 3]
+        dx = xt[:, 0:1] - y0  # [NT, MT] via lane+sublane broadcast
+        dy = xt[:, 1:2] - y1
+        dz = xt[:, 2:3] - y2
+        d = dx * dx + dy * dy + dz * dz
+
+        # x -> y direction (min over MT), accumulated across m-grid steps
+        tmin = jnp.min(d, axis=1, keepdims=True)  # [NT, 1]
+        targ = jnp.min(
+            jnp.where(d == tmin, col_ids, 2**30), axis=1, keepdims=True
+        ) + m_base
+        cur = d1_ref[0, nsl, :]
+        better = tmin < cur
+        d1_ref[0, nsl, :] = jnp.where(better, tmin, cur)
+        cur_i = i1_ref[0, nsl, :]
+        i1_ref[0, nsl, :] = jnp.where(better, targ, cur_i)
+
+        # y -> x direction (min over NT), local to this m-tile
+        t2 = jnp.min(d, axis=0, keepdims=True)  # [1, MT]
+        a2 = jnp.min(
+            jnp.where(d == t2, row_ids, 2**30), axis=0, keepdims=True
+        ) + ni * tile_n
+        better2 = t2 < cmin
+        carg = jnp.where(better2, a2, carg)
+        cmin = jnp.where(better2, t2, cmin)
+
+    d2_ref[0] = cmin
+    i2_ref[0] = carg
+
+
+@jax.jit
+def nn_distance_pallas_v2(x: jax.Array, y: jax.Array):
+    """Exact fused nn_distance, direct-diff VPU formulation.
+
+    Same contract as nn_distance_pallas: [b,n,3],[b,m,3] -> d1,i1,d2,i2.
+    """
+    lead = x.shape[:-2]
+    n, m = x.shape[-2], y.shape[-2]
+    x2 = x.reshape((-1, n, 3)).astype(jnp.float32)
+    y2 = y.reshape((-1, m, 3)).astype(jnp.float32)
+    b = x2.shape[0]
+
+    n_pad = _round_up(max(n, 256), 256)
+    m_pad = _round_up(max(m, 256), 256)
+    tile_n = _pick_tile(n_pad)
+    tile_m = _pick_tile(m_pad)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n), (0, 0)),
+                     constant_values=_PAD_COORD)
+    if m_pad != m:
+        y2 = jnp.pad(y2, ((0, 0), (0, m_pad - m), (0, 0)),
+                     constant_values=_PAD_COORD)
+    yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+
+    kernel = functools.partial(
+        _nn_kernel_v2, n=n_pad, tile_n=tile_n, tile_m=tile_m
+    )
+    vm = pltpu.VMEM
+    d1, i1, d2, i2 = pl.pallas_call(
+        kernel,
+        grid=(b, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 3), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 8, tile_m), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, tile_m), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, tile_m), lambda i, j: (i, 0, j),
+                         memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n_pad * m_pad,
+            bytes_accessed=b * (n_pad + m_pad) * 16,
+            transcendentals=0,
+        ),
+    )(x2, yt)
+
+    d1 = d1[:, :n, 0].reshape(lead + (n,))
+    i1 = i1[:, :n, 0].reshape(lead + (n,))
+    d2 = d2[:, 0, :m].reshape(lead + (m,))
+    i2 = i2[:, 0, :m].reshape(lead + (m,))
+    return d1, i1, d2, i2

@@ -30,6 +30,8 @@ class Configuration:
     encoder_filters: list | None = None  # None -> [64,128,128,256,bneck]
     decoder_sizes: list | None = None  # None -> [256,256] (+ n*3 out layer)
     b_norm_decay: float = 0.9  # BN moving-stat momentum; 1.0 freezes stats
+    ae_dtype: str = "float32"  # compute dtype; "bfloat16" trades ~1e-3
+    #   metric drift for ~13% attack throughput (losses stay f32)
 
     # --- training (reference: src/autoencoder.py:35-45, ae_templates.py:42-51)
     training_epochs: int = 500

@@ -287,3 +287,26 @@ def test_latent_dist_matrix(rng):
         m[1, 3], np.linalg.norm(z[1] - z[3]), rtol=1e-6
     )
     np.testing.assert_allclose(m, m.T, atol=0)
+
+
+def test_binary_search_attack(rng):
+    """Binary-search dist-weight variant
+    (reference: src/adv_ae.py:253-304)."""
+    from geometric_adv_tpu.attack.core import binary_search_attack
+
+    _, _, encode, decode = tiny_model()
+    b, n = 3, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32) + 0.3
+    tz = np.asarray(encode(gt))
+
+    best_adv, best_dist, best_attack, weights = binary_search_attack(
+        encode, decode, x, tz, gt,
+        init_dist_weight=5.0, upper_bound_dist_weight=50.0,
+        binary_search_step=4, num_iterations=20, learning_rate=0.02,
+    )
+    assert best_attack.shape == (b, n, 3)
+    assert np.all(np.isfinite(best_dist)) and np.all(best_dist < 1e10)
+    assert np.all(weights >= 0) and np.all(weights <= 50.0)
+    # bisection moved the weights off the initial value
+    assert not np.allclose(weights, 5.0)

@@ -92,3 +92,20 @@ def test_encode_decode_consistency():
     recon2 = model.apply(variables, z2, train=False, method=PointNetAE.decode)
     np.testing.assert_allclose(z, z2, atol=1e-6)
     np.testing.assert_allclose(recon, recon2, atol=1e-6)
+
+
+def test_conv_upsample_decoder(rng):
+    """decoder_with_convs_only equivalent
+    (reference: src/encoders_decoders.py:150-196)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_adv_tpu.models.layers import ConvUpsampleDecoder
+
+    dec = ConvUpsampleDecoder(
+        features=(16, 8, 3), upsample_sizes=(2, None, None)
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 8), jnp.float32)
+    variables = dec.init(jax.random.PRNGKey(0), x, train=False)
+    out = dec.apply(variables, x, train=False)
+    assert out.shape == (2, 8, 3)  # 4 points tiled x2 after first layer
