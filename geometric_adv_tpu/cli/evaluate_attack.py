@@ -84,7 +84,25 @@ def analyse_class(ctx, i, pc_class_name, save_plots=False):
             q, norm_min_idx, per_tc_idx, all_idx
         )
 
-    if save_plots:
+    if save_plots == "pc":
+        # 3-panel source / adversarial / recon plots of each targeted best
+        # attack (reference: evaluate_attack.py:289-327)
+        from geometric_adv_tpu.utils.plots import plot_attack_triplet
+
+        adv_input = np.load(osp.join(load_dir, "adversarial_pc_input.npy"))
+        adv_recon = np.load(osp.join(load_dir, "adversarial_pc_recon.npy"))
+        source_pc, _ = ctx.class_attack_data(pc_class_name, ctx.point_clouds)
+        plots_dir = ensure_dir(osp.join(save_dir, "best_attacks"))
+        for j in range(min(num_instance, 5)):
+            for k in range(num_target_classes):
+                a = j * num_attack_per_instance + k * conf.num_pc_for_target \
+                    + int(per_tc_idx[j, k])
+                w = int(norm_min_idx[a])
+                plot_attack_triplet(
+                    source_pc[a], adv_input[w, a], adv_recon[w, a],
+                    osp.join(plots_dir, f"adv_{pc_class_name}_{j}_t{k}.png"),
+                )
+    elif save_plots:
         from geometric_adv_tpu.utils.plots import plot_heatmap_graph
 
         graphs_dir = ensure_dir(osp.join(save_dir, "stats"))
@@ -118,6 +136,7 @@ def main():
     parser.add_argument("--output_folder_name", type=str, default="attack_res")
     parser.add_argument("--project_dir", type=str, default=".")
     parser.add_argument("--save_graphs", type=int, default=0)
+    parser.add_argument("--save_pc_plots", type=int, default=0)
     flags = parser.parse_args()
     print("Evaluate attack flags:", flags)
 
@@ -138,7 +157,11 @@ def main():
             open(osp.join(over_dir, "untargeted_attacks.txt"), "w", 1) as funtar:
         for i, pc_class_name in ctx.classes_iter():
             print(f"evaluate shape class {pc_class_name}")
-            res = analyse_class(ctx, i, pc_class_name, bool(flags.save_graphs))
+            plot_mode = (
+                "pc" if flags.save_pc_plots
+                else bool(flags.save_graphs)
+            )
+            res = analyse_class(ctx, i, pc_class_name, plot_mode)
             class_names.append(pc_class_name)
             agg_t["norm"].append(res["norm_min_targeted"])
             agg_u["norm"].append(res["norm_min_untargeted"])

@@ -15,10 +15,21 @@ from geometric_adv_tpu.cli.common import AttackContext, ensure_dir, restore_vict
 from geometric_adv_tpu.defense import get_critical_pc_non_critical_pc
 
 
-def defend_batch(victim, pc_input, source_pc, source_loss_ref):
+def defend_batch(victim, pc_input, source_pc, source_loss_ref,
+                 sanity_checks=False):
     pre = victim.get_pre_symmetry_data(pc_input)
-    crit_pts, crit_idx, crit_num, _, defended = \
+    crit_pts, crit_idx, crit_num, critical_pc, defended = \
         get_critical_pc_non_critical_pc(pc_input, pre)
+    if sanity_checks:
+        # pooling invariance: reconstructing only the critical points must
+        # equal reconstructing the full cloud
+        # (reference: run_defense_critical.py:189-192)
+        full_recon = victim.get_reconstructions(pc_input)
+        crit_recon = victim.get_reconstructions(critical_pc)
+        diff = np.abs(full_recon - crit_recon).max()
+        assert diff < 1e-5, (
+            f"critical-points pooling invariance violated: {diff:.2e}"
+        )
     def_recon = victim.get_reconstructions(defended)
     def_sre = victim.get_loss_per_pc(defended, source_pc)
     def_snre = def_sre / source_loss_ref
@@ -35,6 +46,7 @@ def main():
         "--output_folder_name", type=str, default="defense_critical_res"
     )
     parser.add_argument("--project_dir", type=str, default=".")
+    parser.add_argument("--do_sanity_checks", type=int, default=0)
     flags = parser.parse_args()
     print("Run defense critical flags:", flags)
 
@@ -63,6 +75,22 @@ def main():
         source_loss_ref, _ = ctx.class_attack_data(pc_class_name, ctx.ae_loss)
         source_loss_ref = source_loss_ref.reshape(-1)
 
+        if flags.do_sanity_checks:
+            # replay parity bars (reference: run_defense_critical.py:117-127)
+            source_recon_ref, _ = ctx.class_attack_data(
+                pc_class_name, ctx.reconstructions
+            )
+            source_recon = victim.get_reconstructions(source_pc)
+            diff_recon = np.abs(source_recon - source_recon_ref).max()
+            assert diff_recon < 1e-6, (
+                f"source recon replay drift {diff_recon:.2e} >= 1e-6"
+            )
+            source_loss = victim.get_loss_per_pc(source_pc)
+            diff_loss = np.abs(source_loss - source_loss_ref).max()
+            assert diff_loss < 1e-7, (
+                f"source loss replay drift {diff_loss:.2e} >= 1e-7"
+            )
+
         load_dir = osp.join(ctx.attack_dir, pc_class_name)
         adv_input = np.load(osp.join(load_dir, "adversarial_pc_input.npy"))
         norm_min_idx = np.load(
@@ -84,7 +112,8 @@ def main():
 
         for j in range(num_w):
             (cp, ci, cn, defended, def_recon, def_sre, def_snre) = \
-                defend_batch(victim, adv_input[j], source_pc, source_loss_ref)
+                defend_batch(victim, adv_input[j], source_pc, source_loss_ref,
+                             sanity_checks=bool(flags.do_sanity_checks))
             adv_sre = victim.get_loss_per_pc(adv_input[j], source_pc)
             adv_snre = adv_sre / source_loss_ref
             crit_points[j, :, :cp.shape[1]] = cp[:, :bneck]

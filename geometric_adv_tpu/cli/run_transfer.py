@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--attack_folder", type=str, default="attack_res")
     parser.add_argument("--output_folder_name", type=str, default="transfer_res")
     parser.add_argument("--project_dir", type=str, default=".")
+    parser.add_argument("--do_sanity_checks", type=int, default=0)
     flags = parser.parse_args()
     print("Run transfer flags:", flags)
 
@@ -91,6 +92,30 @@ def main():
                     chamfer_loss_per_pc(recon, target_pc.astype(np.float32))
                 )
         tra_tnre = tra_tre / target_loss_ref[None, :]
+
+        if (
+            flags.do_sanity_checks
+            and flags.transfer_ae_type == "PointNet"
+            and flags.transfer_ae_folder == flags.ae_folder
+        ):
+            # identity sanity: transfer AE == victim must reproduce the
+            # attack's own reconstructions and errors
+            # (reference: run_transfer.py:181-204)
+            adv_recon = np.load(
+                osp.join(load_dir, "adversarial_pc_recon.npy")
+            )
+            adv_recon = np.expand_dims(
+                get_quantity_at_index([adv_recon], norm_min_idx), 0
+            )
+            diff_recon = np.abs(tra_recon - adv_recon).max()
+            assert diff_recon < 1e-6, (
+                f"identity transfer recon drift {diff_recon:.2e} >= 1e-6"
+            )
+            diff_tre = np.abs(tra_tre - adv_metrics[:, :, 4]).max()
+            assert diff_tre < 1e-7, (
+                f"identity transfer T-RE drift {diff_tre:.2e} >= 1e-7"
+            )
+            print("  identity sanity checks passed")
 
         transfer_metrics = np.stack(
             [tra_tre, tra_tnre, adv_metrics[:, :, 4], adv_metrics[:, :, 3]],

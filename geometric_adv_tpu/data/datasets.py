@@ -223,6 +223,19 @@ class PointCloudDataSet:
             self.noisy_point_clouds = self.noisy_point_clouds[perm]
         return self
 
+    def shuffle_points(self, seed=None):
+        """Shuffle point order within each cloud
+        (reference: src/in_out.py:277-287)."""
+        if seed is not None:
+            np.random.seed(seed)
+        perm = np.arange(self.n_points)
+        for i in range(self.num_examples):
+            np.random.shuffle(perm)
+            self.point_clouds[i] = self.point_clouds[i, perm, :]
+            if self.noisy_point_clouds is not None:
+                self.noisy_point_clouds[i] = self.noisy_point_clouds[i, perm, :]
+        return self
+
     def next_batch(self, batch_size, shuffle=True, seed=None):
         start = self._index_in_epoch
         self._index_in_epoch += batch_size

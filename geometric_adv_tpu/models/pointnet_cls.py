@@ -64,11 +64,17 @@ class TNet(nn.Module):
 
 
 class PointNetClassifier(nn.Module):
-    """Full PointNet classifier (reference: classifier/pointnet_cls.py:30-84)."""
+    """Full PointNet classifier (reference: classifier/pointnet_cls.py:30-84).
+
+    ``use_tnets=False`` gives the "basic" variant without the transform nets
+    (reference: classifier/pointnet_cls_basic.py); its feature-transform
+    output is then the identity, making the orthogonality regulariser zero.
+    """
 
     num_classes: int = 13
     bn_momentum: float = 0.9
     dropout_rate: float = 0.3  # reference keep_prob 0.7
+    use_tnets: bool = True
 
     @nn.compact
     def __call__(
@@ -84,18 +90,24 @@ class PointNetClassifier(nn.Module):
             )(h)
             return nn.relu(h)
 
-        t_in = TNet(k=3, bn_momentum=self.bn_momentum, name="transform_net1")(
-            x, train=train
-        )
-        x = jnp.einsum("...nc,...ck->...nk", x, t_in)
+        if self.use_tnets:
+            t_in = TNet(
+                k=3, bn_momentum=self.bn_momentum, name="transform_net1"
+            )(x, train=train)
+            x = jnp.einsum("...nc,...ck->...nk", x, t_in)
 
         x = conv_bn(x, 64, "conv1")
         x = conv_bn(x, 64, "conv2")
 
-        t_feat = TNet(
-            k=64, bn_momentum=self.bn_momentum, name="transform_net2"
-        )(x, train=train)
-        x = jnp.einsum("...nc,...ck->...nk", x, t_feat)
+        if self.use_tnets:
+            t_feat = TNet(
+                k=64, bn_momentum=self.bn_momentum, name="transform_net2"
+            )(x, train=train)
+            x = jnp.einsum("...nc,...ck->...nk", x, t_feat)
+        else:
+            t_feat = jnp.broadcast_to(
+                jnp.eye(64, dtype=x.dtype), x.shape[:-2] + (64, 64)
+            )
 
         x = conv_bn(x, 64, "conv3")
         x = conv_bn(x, 128, "conv4")

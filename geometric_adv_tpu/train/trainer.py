@@ -196,6 +196,31 @@ class AETrainer:
         )(self.state, z)
         return np.asarray(recon)
 
+    def evaluate(self, in_data, conf=None, ret_pre_augmentation=False):
+        """Full-set reconstruction + mean loss over a PointCloudDataSet
+        (reference: src/autoencoder.py:229-261)."""
+        conf = conf or self.conf
+        pre_aug = None
+        if self.conf.is_denoising:
+            original, ids, feed = in_data.full_epoch_data(shuffle=False)
+            if ret_pre_augmentation and feed is not None:
+                pre_aug = feed.copy()
+            if feed is None:
+                feed = original
+            feed = apply_augmentations(feed, conf)
+        else:
+            original, ids, _ = in_data.full_epoch_data(shuffle=False)
+            feed = apply_augmentations(original, conf)
+        out = self._batched_forward(
+            feed.astype(np.float32), original.astype(np.float32),
+            batch_size=conf.batch_size,
+        )
+        data_loss = float(out["loss"].mean())
+        print("evaluation loss=", "{:.9f}".format(data_loss))
+        if pre_aug is not None:
+            return out["recon"], data_loss, feed, ids, original, pre_aug
+        return out["recon"], data_loss, feed, ids, original
+
     def interpolate(self, x, y, steps):
         """reference: src/autoencoder.py:178-189."""
         z = self.transform(np.stack([x, y]))

@@ -67,3 +67,22 @@ def test_classifier_checkpoint_roundtrip(tmp_path):
     tr2.restore(str(tmp_path))
     pred_b = tr2.classify(pcs)
     np.testing.assert_array_equal(pred_a, pred_b)
+
+
+def test_basic_variant_no_tnets(rng):
+    """pointnet_cls_basic parity: no transform nets, identity t_feat
+    (reference: classifier/pointnet_cls_basic.py)."""
+    model = PointNetClassifier(num_classes=5, use_tnets=False)
+    x = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, t_feat = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 5)
+    np.testing.assert_allclose(
+        np.asarray(t_feat), np.tile(np.eye(64), (2, 1, 1)), atol=0
+    )
+    # fewer params than the full model (no T-Nets)
+    n_basic = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    full = PointNetClassifier(num_classes=5)
+    vf = full.init(jax.random.PRNGKey(0), x, train=False)
+    n_full = sum(p.size for p in jax.tree.leaves(vf["params"]))
+    assert n_basic < n_full

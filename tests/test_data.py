@@ -111,3 +111,16 @@ def test_shapenet_like_dir_loading(tmp_path):
     assert ds.num_examples == 18
     assert slice_idx == [0, 9, 18]
     assert labels == [0] * 9 + [1] * 9
+
+
+def test_shuffle_points(rng):
+    pcs = rng.randn(3, 32, 3).astype(np.float32)
+    ds = PointCloudDataSet(pcs, init_shuffle=False)
+    ds.shuffle_points(seed=1)
+    for i in range(3):
+        # same multiset of points, different order
+        np.testing.assert_allclose(
+            np.sort(ds.point_clouds[i], axis=0), np.sort(pcs[i], axis=0),
+            atol=0,
+        )
+    assert not np.array_equal(ds.point_clouds, pcs)

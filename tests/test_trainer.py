@@ -117,3 +117,15 @@ def test_batched_inference_pads_ragged_batches():
     x = make_data(n=10).point_clouds  # 10 not divisible by 8
     recon = trainer.get_reconstructions(x, batch_size=6)
     assert recon.shape == (10, 64, 3)
+
+
+def test_evaluate_method(tmp_path):
+    """AETrainer.evaluate parity surface
+    (reference: src/autoencoder.py:229-261)."""
+    conf = tiny_conf(tmp_path)
+    trainer = AETrainer(conf)
+    data = make_data(n=12)
+    recon, loss, feed, ids, original = trainer.evaluate(data, conf)
+    assert recon.shape == (12, 64, 3)
+    assert np.isfinite(loss)
+    np.testing.assert_array_equal(original, data.point_clouds)
