@@ -146,11 +146,104 @@ def _match_cost_bwd(res, g):
 match_cost.defvjp(_match_cost_fwd, _match_cost_bwd)
 
 
+def _emd_sweep_single(xyz1: Array, xyz2: Array, want_grads: bool):
+    """Auction sweep accumulating cost (and optionally grads) per round —
+    the match matrix itself is never stored. Per round, the cost and the
+    reference's (a-b)/d gradient decompose into matvecs against the round's
+    transport increment w = K * ratioL (x) ratioR:
+
+        cost   += ratioL . (K*d) @ ratioR
+        grad1   = ratioL * (x1 * (M @ u) - M @ (u*x2)),  M = K*rsqrt(d2), u = ratioR
+        grad2   = ratioR * (x2 * (M^T @ v) - M^T @ (v*x1)),              v = ratioL
+
+    This halves HBM traffic vs approx_match+match_cost (no [n, m] match
+    accumulator read/write per round, no match residual in the VJP).
+    """
+    n, m = xyz1.shape[0], xyz2.shape[0]
+    if n >= m:
+        mult_l, mult_r = 1.0, float(n // m)
+    else:
+        mult_l, mult_r = float(m // n), 1.0
+
+    sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [n, m]
+    d = jnp.sqrt(sqd)
+    inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
+    levels = jnp.asarray(_LEVELS, dtype=xyz1.dtype)
+
+    def round_fn(i, state):
+        cost, g1, g2, remain_l, remain_r = state
+        k = jnp.exp(levels[i] * sqd)
+
+        suml = k @ remain_r + 1e-9
+        ratio_l = remain_l / suml
+        sumr = (ratio_l @ k) * remain_r
+        ratio_r = jnp.minimum(remain_r / (sumr + 1e-9), 1.0) * remain_r
+        remain_r = jnp.maximum(remain_r - sumr, 0.0)
+
+        # cost increment (w = k * ratio_l (x) ratio_r; sum w * d)
+        cost = cost + ratio_l @ ((k * d) @ ratio_r)
+        if want_grads:
+            mm = k * inv_d
+            s0 = mm @ ratio_r  # [n]
+            s1 = mm @ (ratio_r[:, None] * xyz2)  # [n, 3]
+            g1 = g1 + ratio_l[:, None] * (xyz1 * s0[:, None] - s1)
+            t0 = ratio_l @ mm  # [m]
+            t1 = jnp.einsum(
+                "n,nm,nc->mc", ratio_l, mm, xyz1,
+                preferred_element_type=jnp.float32,
+            )
+            g2 = g2 + ratio_r[:, None] * (xyz2 * t0[:, None] - t1)
+
+        # row transport this round: sum_l w[k,l] = ratio_l * (k @ ratio_r)
+        remain_l = jnp.maximum(remain_l - ratio_l * (k @ ratio_r), 0.0)
+        return cost, g1, g2, remain_l, remain_r
+
+    state0 = (
+        jnp.zeros((), xyz1.dtype),
+        jnp.zeros_like(xyz1),
+        jnp.zeros_like(xyz2),
+        jnp.full((n,), mult_l, dtype=xyz1.dtype),
+        jnp.full((m,), mult_r, dtype=xyz1.dtype),
+    )
+    cost, g1, g2, _, _ = jax.lax.fori_loop(0, len(_LEVELS), round_fn, state0)
+    return cost, g1, g2
+
+
+def _emd_fused_impl(pred, gt, want_grads):
+    fn = functools.partial(_emd_sweep_single, want_grads=want_grads)
+    for _ in range(pred.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(pred, gt)
+
+
+@jax.custom_vjp
+def emd_loss_fused(pred: Array, gt: Array) -> Array:
+    """Fused approximate-EMD loss: identical value to
+    ``match_cost(pred, gt, approx_match(pred, gt))`` without materialising
+    the [n, m] match matrix (the hot path for EMD AE training)."""
+    cost, _, _ = _emd_fused_impl(pred, gt, want_grads=False)
+    return cost
+
+
+def _emd_fused_fwd(pred, gt):
+    cost, g1, g2 = _emd_fused_impl(pred, gt, want_grads=True)
+    return cost, (g1, g2)
+
+
+def _emd_fused_bwd(res, g):
+    g1, g2 = res
+    gexp = g[..., None, None]
+    return gexp * g1, gexp * g2
+
+
+emd_loss_fused.defvjp(_emd_fused_fwd, _emd_fused_bwd)
+
+
 def emd_loss_per_pc(pred: Array, gt: Array) -> Array:
     """Per-cloud approximate EMD: match_cost(pred, gt, approx_match(pred, gt)).
 
     Used as the AE's EMD training loss before the batch mean
-    (reference: src/pointnet_ae.py:77-79).
+    (reference: src/pointnet_ae.py:77-79). Computed via the fused sweep —
+    same value/gradient semantics, no [n, m] match storage.
     """
-    match = approx_match(pred, gt)
-    return match_cost(pred, gt, match)
+    return emd_loss_fused(pred, gt)

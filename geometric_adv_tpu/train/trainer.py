@@ -221,6 +221,36 @@ class AETrainer:
             return out["recon"], data_loss, feed, ids, original, pre_aug
         return out["recon"], data_loss, feed, ids, original
 
+    def embedding_at_layer(self, pclouds, layer_path=None, batch_size=50):
+        """Activations at an arbitrary intermediate layer.
+
+        Replaces ``embedding_at_tensor``'s graph tensor lookup
+        (reference: src/autoencoder.py:263-294) with flax's
+        capture_intermediates: ``layer_path`` is a module-path tuple like
+        ("decoder", "fc_0", "__call__") or None for the bottleneck.
+        """
+        if layer_path is None:
+            return self.get_latent_vectors(pclouds, batch_size=batch_size)
+
+        @jax.jit
+        def capture(state, x):
+            _, mods = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x,
+                train=False,
+                capture_intermediates=True,
+            )
+            node = mods["intermediates"]
+            for k in layer_path:
+                node = node[k]
+            return node[0] if isinstance(node, tuple) else node
+
+        outs = []
+        pcs = np.asarray(pclouds, np.float32)
+        for s in range(0, len(pcs), batch_size):
+            outs.append(np.asarray(capture(self.state, pcs[s : s + batch_size])))
+        return np.concatenate(outs)
+
     def interpolate(self, x, y, steps):
         """reference: src/autoencoder.py:178-189."""
         z = self.transform(np.stack([x, y]))

@@ -130,3 +130,27 @@ def test_emd_loss_gradient_descent_converges(rng):
     for _ in range(50):
         pred = pred - 0.05 * grad_fn(pred)
     assert float(loss_fn(pred)) < 0.5 * l0
+
+
+def test_fused_emd_matches_unfused(rng):
+    """emd_loss_fused must equal match_cost(approx_match(...)) in value and
+    gradient (it is the same sweep with per-round accumulation)."""
+    from geometric_adv_tpu.ops.emd import emd_loss_fused
+
+    for n, m in [(48, 48), (64, 32)]:
+        x = rng.rand(2, n, 3).astype(np.float32)
+        y = rng.rand(2, m, 3).astype(np.float32)
+        fused = emd_loss_fused(x, y)
+        match = approx_match(x, y)
+        unfused = match_cost(x, y, match)
+        np.testing.assert_allclose(fused, unfused, rtol=1e-4, atol=1e-4)
+
+        gf = jax.grad(lambda a: jnp.sum(emd_loss_fused(a, y)))(x)
+        gu = jax.grad(
+            lambda a: jnp.sum(match_cost(a, y, match))
+        )(x)
+        np.testing.assert_allclose(gf, gu, atol=2e-4)
+
+        gf2 = jax.grad(lambda c: jnp.sum(emd_loss_fused(x, c)))(y)
+        gu2 = jax.grad(lambda c: jnp.sum(match_cost(x, c, match)))(y)
+        np.testing.assert_allclose(gf2, gu2, atol=2e-4)

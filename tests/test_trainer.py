@@ -129,3 +129,17 @@ def test_evaluate_method(tmp_path):
     assert recon.shape == (12, 64, 3)
     assert np.isfinite(loss)
     np.testing.assert_array_equal(original, data.point_clouds)
+
+
+def test_embedding_at_layer(tmp_path):
+    """embedding_at_tensor parity via capture_intermediates
+    (reference: src/autoencoder.py:263-294)."""
+    conf = tiny_conf(tmp_path)
+    trainer = AETrainer(conf)
+    x = make_data(n=6).point_clouds
+    z = trainer.embedding_at_layer(x)  # bottleneck
+    assert z.shape == (6, 16)
+    fc0 = trainer.embedding_at_layer(x, ("decoder", "fc_0", "__call__"))
+    assert fc0.shape == (6, 32)
+    pre = trainer.embedding_at_layer(x, ("encoder", "__call__"))
+    assert pre.shape == (6, 64, 16)
