@@ -3,7 +3,6 @@
 import argparse
 import os.path as osp
 
-import numpy as np
 
 from geometric_adv_tpu.classify import ClassifierTrainer
 from geometric_adv_tpu.cli.common import eval_dir, list_files

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from geometric_adv_tpu.data.datasets import create_dir  # noqa: F401 (CLI use)
-
 
 def get_critical_points(point_clouds, pre_symmetry_data):
     """Per-cloud critical points, sorted by how many channels they win.

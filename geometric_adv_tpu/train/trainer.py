@@ -13,7 +13,6 @@ all-reduce for gradients.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any
 
 import flax.struct
@@ -62,15 +61,13 @@ class AETrainer:
     ):
         self.conf = conf
         self.mesh = mesh
-        import jax.numpy as _jnp
-
         self.model = PointNetAE(
             n_points=conf.n_points,
             bneck_size=conf.bneck_size,
             encoder_filters=conf.encoder_filters,
             decoder_sizes=conf.decoder_sizes,
             bn_momentum=conf.b_norm_decay,
-            dtype=getattr(_jnp, conf.ae_dtype or "float32"),
+            dtype=getattr(jnp, conf.ae_dtype or "float32"),
         )
 
         if conf.exponential_decay and conf.decay_steps:
