@@ -45,7 +45,7 @@ import numpy as np
 
 from geometric_adv_tpu.models.pointnet_ae import PointNetAE
 from geometric_adv_tpu.ops import nn_distance
-from geometric_adv_tpu.ops.emd import approx_match, match_cost
+from geometric_adv_tpu.ops.emd import emd_loss_fused
 from geometric_adv_tpu.parallel.mesh import (
     batch_sharding,
     pad_to_multiple,
@@ -111,9 +111,8 @@ def make_attack_loss(
         if ae_loss_type == "chamfer":
             d1, _, d2, _ = nn_distance(recon, gt)
             return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
-        # EMD metric variant (match has no gradient; cost does)
-        match = approx_match(recon, gt)
-        return match_cost(recon, gt, match)
+        # EMD variant via the fused sweep (differentiable cost)
+        return emd_loss_fused(recon, gt)
 
     def forward(pert, x, target_z, gt, dist_weight):
         adv = x + pert
@@ -122,9 +121,18 @@ def make_attack_loss(
 
         t_re = ae_loss_per_pc(recon, gt)  # target recon error, per example
 
-        d1, _, d2, _ = nn_distance(adv, x)
-        input_dist_per_pc = jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
-        max_dist_per_pc = jnp.max(d1, axis=-1)
+        if ae_loss_type == "chamfer":
+            d1, _, d2, _ = nn_distance(adv, x)
+            input_dist_per_pc = jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+            max_dist_per_pc = jnp.max(d1, axis=-1)
+        else:
+            # reference selects the input-dist formulation by the victim's
+            # loss type (src/adv_ae.py:129-142); its EMD branch is
+            # non-functional (rank-1 reduce_mean(axis=1) on match_cost's [b]
+            # output — SURVEY §2.2), so the repaired semantics here use the
+            # per-example EMD cost for both the distance and its max proxy.
+            input_dist_per_pc = emd_loss_fused(adv, x)
+            max_dist_per_pc = input_dist_per_pc
 
         loss_pert, loss_max = pert_losses(pert)
 

@@ -213,6 +213,8 @@ class ClassifierTrainer:
     def restore(self, train_dir, epoch=None):
         if epoch is None:
             epoch = ckpt.latest_epoch(train_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {train_dir}")
         tree = ckpt.restore_checkpoint(train_dir, epoch)
         self.state = self.state.replace(
             params=tree["params"],

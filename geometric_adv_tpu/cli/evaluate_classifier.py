@@ -60,14 +60,22 @@ def main():
         )
         pred_file = "source_pc_recon_pred.npy"
     elif flags.data_type == "before_defense":
+        # predictions live in the adversarial classifier folder, but the
+        # report belongs next to the after_defense one under the defense
+        # folder (reference: evaluate_classifier.py:56-57)
         pred_path = osp.join(ctx.attack_dir, flags.output_folder_name)
         pred_file = "adversarial_pc_recon_pred.npy"
+        stats_path = osp.join(
+            ctx.attack_dir, flags.defense_folder, flags.output_folder_name
+        )
     else:  # after_defense
         pred_path = osp.join(
             ctx.attack_dir, flags.defense_folder, flags.output_folder_name
         )
         pred_file = "defended_pc_recon_pred.npy"
 
+    if flags.data_type != "before_defense":
+        stats_path = pred_path
     agg = []
     class_names = []
     for i, pc_class_name in ctx.classes_iter():
@@ -109,7 +117,7 @@ def main():
         agg.append(targeted)
         class_names.append(pc_class_name)
 
-    over_dir = ensure_dir(osp.join(pred_path, "over_classes"))
+    over_dir = ensure_dir(osp.join(stats_path, "over_classes"))
     stats_name = f"eval_stats_{flags.data_type}_{flags.classification_type}.txt"
     with open(osp.join(over_dir, stats_name), "w", 1) as fout:
         write_classification_statistics_to_file(

@@ -85,6 +85,14 @@ def main():
     ctx.nn_idx = load_data(
         ctx.data_path, ctx.files, [NN_IDX_DICT[conf.target_pc_idx_type]]
     )
+    if conf.correct_pred_only and ctx.correct_pred is None:
+        # the flag was set by this CLI, after AttackContext resolved it from
+        # the (pre-mutation) AE config — reload like nn_idx above
+        pc_labels, pc_pred_labels = load_data(
+            ctx.data_path, ctx.files,
+            ["pc_label_test_set", "pc_pred_labels_test_set"],
+        )
+        ctx.correct_pred = pc_labels == pc_pred_labels
 
     import jax
 

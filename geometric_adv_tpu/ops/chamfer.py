@@ -151,17 +151,8 @@ def _nn_distance_bwd(method, res, cotangents):
 
     # grad_xyz1 = t1  - scatter_add of t2 at idx2
     # grad_xyz2 = t2  - scatter_add of t1 at idx1
+    # pure-XLA fallback (the TPU path returned above via the fused kernel)
     def scatter_add(target_like, idx, updates):
-        if _on_tpu():
-            # XLA's TPU scatter is serialized and dominated the attack step;
-            # the Pallas kernel does it as masked one-hot MXU matmuls.
-            from geometric_adv_tpu.ops.pallas.scatter_kernel import (
-                scatter_add_points_pallas,
-            )
-
-            return scatter_add_points_pallas(
-                idx, updates, target_like.shape[-2]
-            )
         zeros = jnp.zeros_like(target_like)
         # flatten leading batch dims for a single scatter
         flat_zeros = zeros.reshape((-1,) + zeros.shape[-2:])

@@ -49,7 +49,9 @@ class Configuration:
     latent_vs_recon: float = 1.0
     consistent_io: bool | None = None
     exponential_decay: bool = False
-    decay_steps: int | None = None
+    decay_steps: int | None = None  # in EPOCHS (reference keys on the epoch
+    #   counter, src/pointnet_ae.py:93-95); requires steps_per_epoch
+    steps_per_epoch: int | None = None
 
     # --- experiment identity (reference: autoencoder/train_ae.py:43-77) ---
     experiment_name: str = "autoencoder"

@@ -71,9 +71,14 @@ class AETrainer:
         )
 
         if conf.exponential_decay and conf.decay_steps:
-            # reference: src/pointnet_ae.py:93-95 (staircase halving, 1e-5 floor)
+            # reference: src/pointnet_ae.py:93-95 — staircase halving keyed
+            # on the EPOCH counter with a 1e-5 floor. optax schedules see the
+            # per-batch update count, so convert via steps_per_epoch.
+            spe = conf.steps_per_epoch or 1
             self.lr_schedule = lambda step: jnp.maximum(
-                conf.learning_rate * 0.5 ** (step // conf.decay_steps), 1e-5
+                conf.learning_rate
+                * 0.5 ** ((step // spe) // conf.decay_steps),
+                1e-5,
             )
         else:
             self.lr_schedule = conf.learning_rate
@@ -98,6 +103,14 @@ class AETrainer:
 
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_forward = jax.jit(self._forward)
+        self._jit_decode = jax.jit(
+            lambda state, zz: self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                zz,
+                train=False,
+                method=PointNetAE.decode,
+            )
+        )
 
     # --- device-side programs -------------------------------------------
     def _train_step(self, state: AEState, x, gt):
@@ -183,15 +196,7 @@ class AETrainer:
 
     def decode(self, z):
         z = np.atleast_2d(np.asarray(z, np.float32))
-        recon = jax.jit(
-            lambda state, zz: self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                zz,
-                train=False,
-                method=PointNetAE.decode,
-            )
-        )(self.state, z)
-        return np.asarray(recon)
+        return np.asarray(self._jit_decode(self.state, z))
 
     def evaluate(self, in_data, conf=None, ret_pre_augmentation=False):
         """Full-set reconstruction + mean loss over a PointCloudDataSet
@@ -200,10 +205,10 @@ class AETrainer:
         pre_aug = None
         if self.conf.is_denoising:
             original, ids, feed = in_data.full_epoch_data(shuffle=False)
-            if ret_pre_augmentation and feed is not None:
-                pre_aug = feed.copy()
             if feed is None:
                 feed = original
+            if ret_pre_augmentation:
+                pre_aug = feed.copy()
             feed = apply_augmentations(feed, conf)
         else:
             original, ids, _ = in_data.full_epoch_data(shuffle=False)
@@ -330,6 +335,7 @@ class AETrainer:
         tree = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
             "epoch": epoch,
         }
         return ckpt.save_checkpoint(train_dir, epoch, tree)
@@ -345,6 +351,20 @@ class AETrainer:
             batch_stats=tree["batch_stats"],
             epoch=jnp.asarray(tree["epoch"], jnp.int32),
         )
+        if tree.get("opt_state") is not None:
+            # restore Adam moments + schedule step so a resumed run is an
+            # exact continuation (tf.train.Saver restores slot variables)
+            self.state = self.state.replace(
+                opt_state=jax.tree.map(
+                    lambda ref, new: jnp.asarray(new, ref.dtype)
+                    if hasattr(ref, "dtype") else new,
+                    self.state.opt_state,
+                    jax.tree.unflatten(
+                        jax.tree.structure(self.state.opt_state),
+                        jax.tree.leaves(tree["opt_state"]),
+                    ),
+                )
+            )
         if self.mesh is not None:
             self.state = jax.device_put(self.state, replicated(self.mesh))
         return self

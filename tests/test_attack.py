@@ -310,3 +310,28 @@ def test_binary_search_attack(rng):
     assert np.all(weights >= 0) and np.all(weights <= 50.0)
     # bisection moved the weights off the initial value
     assert not np.allclose(weights, 5.0)
+
+
+def test_emd_attack_variant(rng):
+    """EMD-victim attack path: t_re and input-dist use the fused EMD cost
+    (repaired semantics — the reference's EMD branch is non-functional,
+    SURVEY §2.2)."""
+    _, _, encode, decode = tiny_model()
+    b, n = 2, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32) + 0.3
+    tz = np.asarray(encode(gt))
+    out = attack_batch(
+        encode, decode, x, tz, gt, np.ones(b, np.float32),
+        np.array([0.5], np.float32),
+        num_iterations=40, num_iterations_thresh=20, learning_rate=0.02,
+        ae_loss_type="emd",
+    )
+    m = np.asarray(out.metrics[0])
+    assert np.all(np.isfinite(m))
+    # T-RE column is an EMD cost: scales with n (sum over points), not a mean
+    from geometric_adv_tpu.ops.emd import emd_loss_fused
+
+    tre_now = np.asarray(emd_loss_fused(
+        np.asarray(decode(encode(out.pc_input[0]))), gt))
+    assert np.all(m[:, 4] <= tre_now + 1e-3)  # best <= final
