@@ -262,6 +262,37 @@ class AETrainer:
 
     # --- training loop (reference: src/autoencoder.py:196-227,
     #     src/pointnet_ae.py:101-138) ------------------------------------
+    def _device_epoch_fn(self, n_batches: int, batch_size: int):
+        """One whole epoch as a single device program: shuffle (device PRNG)
+        + lax.scan over the batch train steps. Eliminates the per-step
+        dispatch round trip — through a remote TPU relay that round trip
+        dominates small-step training (measured 0.38 s/step vs ~15 ms of
+        compute at batch 50 x 2048 pts)."""
+
+        @jax.jit
+        def epoch_fn(state, data, epoch_key):
+            n = data.shape[0]
+            perm = jax.random.permutation(epoch_key, n)
+            batches = data[perm[: n_batches * batch_size]].reshape(
+                (n_batches, batch_size) + data.shape[1:]
+            )
+
+            def body(st, batch):
+                st, loss, _ = self._train_step(st, batch, batch)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, batches)
+            return state, jnp.mean(losses)
+
+        return epoch_fn
+
+    def _can_scan_epochs(self, conf) -> bool:
+        return (
+            not conf.is_denoising
+            and conf.gauss_augment is None
+            and not conf.z_rotate
+        )
+
     def _single_epoch(self, train_data, conf, only_fw=False):
         n_batches = train_data.num_examples // conf.batch_size
         epoch_loss = 0.0
@@ -288,8 +319,29 @@ class AETrainer:
     def train(self, train_data, conf=None, log_file=None, held_out_data=None):
         conf = conf or self.conf
         stats = []
+
+        scan_epochs = self._can_scan_epochs(conf)
+        if scan_epochs:
+            n_batches = train_data.num_examples // conf.batch_size
+            epoch_fn = self._device_epoch_fn(n_batches, conf.batch_size)
+            data_dev = jnp.asarray(
+                train_data.point_clouds.astype(np.float32)
+            )
+            if self.mesh is not None:
+                data_dev = jax.device_put(data_dev, replicated(self.mesh))
+            epoch_key = jax.random.PRNGKey(int(self.state.epoch) + 1)
+
         for _ in range(conf.training_epochs):
-            loss, duration = self._single_epoch(train_data, conf)
+            if scan_epochs:
+                t0 = time.time()
+                epoch_key, sub = jax.random.split(epoch_key)
+                self.state, loss_dev = epoch_fn(self.state, data_dev, sub)
+                loss = float(loss_dev)
+                if conf.loss == "emd":
+                    loss /= train_data.n_points  # reference: pointnet_ae.py:135
+                duration = time.time() - t0
+            else:
+                loss, duration = self._single_epoch(train_data, conf)
             self.state = self.state.replace(epoch=self.state.epoch + 1)
             epoch = int(self.state.epoch)
             stats.append((epoch, loss, duration))
