@@ -98,6 +98,43 @@ class ClassifierTrainer:
             self.state = jax.device_put(self.state, replicated(mesh))
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_logits = jax.jit(self._logits)
+        self._epoch_fns = {}
+
+    def _device_epoch_fn(self, n_batches: int):
+        """Whole epoch as one device program: shuffle + per-point jitter
+        (reference: provider.py:66-77, on-device) + scanned train steps —
+        one dispatch per epoch instead of one per batch."""
+        if n_batches in self._epoch_fns:
+            return self._epoch_fns[n_batches]
+
+        bs = self.batch_size
+
+        @jax.jit
+        def epoch_fn(state, pcs, labels, key):
+            n = pcs.shape[0]
+            kperm, kjit, kdrop = jax.random.split(key, 3)
+            perm = jax.random.permutation(kperm, n)[: n_batches * bs]
+            xb = pcs[perm].reshape((n_batches, bs) + pcs.shape[1:])
+            yb = labels[perm].reshape((n_batches, bs))
+            jitter = jnp.clip(
+                0.01 * jax.random.normal(kjit, xb.shape, xb.dtype),
+                -0.05, 0.05,
+            )
+            xb = xb + jitter
+            drop_keys = jax.random.split(kdrop, n_batches)
+
+            def body(st, inp):
+                x, y, dk = inp
+                st, loss, acc = self._train_step(st, x, y, dk)
+                return st, (loss, acc)
+
+            state, (losses, accs) = jax.lax.scan(
+                body, state, (xb, yb, drop_keys)
+            )
+            return state, jnp.mean(losses), jnp.mean(accs)
+
+        self._epoch_fns[n_batches] = epoch_fn
+        return epoch_fn
 
     def _train_step(self, state: ClsState, x, labels, dropout_rng):
         def loss_fn(params):
@@ -143,28 +180,19 @@ class ClassifierTrainer:
     ):
         """Epoch loop with shuffle + jitter augmentation
         (reference: classifier/train_classifier.py:227-262)."""
-        rng = np.random.RandomState(seed)
         key = jax.random.PRNGKey(seed)
         n = len(point_clouds)
         labels = np.asarray(labels, np.int32)
+        n_batches = n // self.batch_size
+        epoch_fn = self._device_epoch_fn(n_batches)
+        pcs_dev = jnp.asarray(point_clouds.astype(np.float32))
+        lbl_dev = jnp.asarray(labels)
         stats = []
         for _ in range(epochs):
             t0 = time.time()
-            perm = rng.permutation(n)
-            pcs = point_clouds[perm]
-            lbl = labels[perm]
-            losses, accs = [], []
-            for s in range(0, n - self.batch_size + 1, self.batch_size):
-                xb = jitter_point_cloud(
-                    pcs[s : s + self.batch_size].astype(np.float32), rng=rng
-                )
-                yb = lbl[s : s + self.batch_size]
-                key, sub = jax.random.split(key)
-                self.state, loss, acc = self._jit_train_step(
-                    self.state, xb, yb, sub
-                )
-                losses.append(float(loss))
-                accs.append(float(acc))
+            key, sub = jax.random.split(key)
+            self.state, loss, acc = epoch_fn(self.state, pcs_dev, lbl_dev, sub)
+            losses, accs = [float(loss)], [float(acc)]
             self.state = self.state.replace(epoch=self.state.epoch + 1)
             epoch = int(self.state.epoch)
             msg = (

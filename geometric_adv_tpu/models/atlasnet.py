@@ -55,8 +55,8 @@ def random_template_points(key, nb_primitives, n, dim):
     """Train-time uniform template sampling
     (reference: template.py:66-73 / 37-44)."""
     if dim == 2:
-        return jax.random.uniform(key, (nb_primitives, n, 2))
-    v = jax.random.normal(key, (nb_primitives, n, 3))
+        return jax.random.uniform(key, (nb_primitives, n, 2), jnp.float32)
+    v = jax.random.normal(key, (nb_primitives, n, 3), jnp.float32)
     return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 
 

@@ -81,28 +81,45 @@ class _TransferTrainerBase:
             {"params": state.params, "batch_stats": state.batch_stats}, x
         )
 
+    def _device_epoch_fn(self, n_batches: int, batch_size: int):
+        """Whole epoch as one device program (shuffle + scanned steps) —
+        one dispatch per epoch instead of one per batch."""
+
+        @jax.jit
+        def epoch_fn(state, pcs, key):
+            n = pcs.shape[0]
+            kperm, kstep = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n)[: n_batches * batch_size]
+            xb = pcs[perm].reshape((n_batches, batch_size) + pcs.shape[1:])
+            step_keys = jax.random.split(kstep, n_batches)
+
+            def body(st, inp):
+                x, sk = inp
+                st, loss = self._train_step(st, x, sk)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, (xb, step_keys))
+            return state, jnp.mean(losses)
+
+        return epoch_fn
+
     def train(
         self, point_clouds, epochs, batch_size, log_file=None, seed=0,
         tag="transfer",
     ):
-        rng = np.random.RandomState(seed)
         key = jax.random.PRNGKey(seed)
         n = len(point_clouds)
+        n_batches = n // batch_size
+        epoch_fn = self._device_epoch_fn(n_batches, batch_size)
+        pcs_dev = jnp.asarray(np.asarray(point_clouds, np.float32))
         for _ in range(epochs):
             t0 = time.time()
-            perm = rng.permutation(n)
-            pcs = point_clouds[perm]
-            losses = []
-            for s in range(0, n - batch_size + 1, batch_size):
-                key, sub = jax.random.split(key)
-                self.state, loss = self._jit_train_step(
-                    self.state, pcs[s : s + batch_size].astype(np.float32), sub
-                )
-                losses.append(float(loss))
+            key, sub = jax.random.split(key)
+            self.state, loss = epoch_fn(self.state, pcs_dev, sub)
             self.state = self.state.replace(epoch=self.state.epoch + 1)
             epoch = int(self.state.epoch)
             msg = (
-                f"{tag} epoch {epoch:03d}: loss {np.mean(losses):.6f} "
+                f"{tag} epoch {epoch:03d}: loss {float(loss):.6f} "
                 f"({time.time() - t0:.1f}s)"
             )
             print(msg)
