@@ -29,7 +29,7 @@ def main():
     parser.add_argument("--get_latent_nn_idx", type=int, default=0)
     parser.add_argument("--get_chamfer_nn_idx", type=int, default=0)
     parser.add_argument("--num_instance_per_class", type=int, default=100)
-    parser.add_argument("--pair_block", type=int, default=512)
+    parser.add_argument("--pair_block", type=int, default=4096)
     flags = parser.parse_args()
     print("Prepare indices flags:", flags)
 

@@ -37,17 +37,19 @@ def _pair_chamfer(src, tgt, method="direct"):
 
 def chamfer_distance_matrix(
     point_clouds: np.ndarray,
-    pair_block: int = 512,
+    pair_block: int = 4096,
     mesh=None,
-    method: str = "direct",
+    method: str = "auto",
     progress: bool = False,
 ) -> np.ndarray:
     """Symmetric [N, N] chamfer matrix over a set of clouds.
 
     Args:
         point_clouds: [N, n, 3] array.
-        pair_block: pairs evaluated per device program (bounds the [k, n, m]
-            intermediate: k * n * m * 4 bytes of HBM).
+        pair_block: pairs evaluated per device program. With the Pallas
+            kernel no [k, n, m] matrix exists; the block mainly amortises
+            the per-dispatch round trip (significant through remote relays),
+            so large blocks are cheap.
         mesh: optional device mesh; the pair axis is sharded over it.
         method: pairwise-distance formulation ("direct" exact / "mxu").
     """
