@@ -17,9 +17,11 @@ from geometric_adv_tpu.defense import get_critical_pc_non_critical_pc
 
 def defend_batch(victim, pc_input, source_pc, source_loss_ref,
                  sanity_checks=False):
-    pre = victim.get_pre_symmetry_data(pc_input)
+    max_idx, max_val = victim.get_pre_symmetry_argmax(pc_input)
     crit_pts, crit_idx, crit_num, critical_pc, defended = \
-        get_critical_pc_non_critical_pc(pc_input, pre)
+        get_critical_pc_non_critical_pc(
+            pc_input, max_idx_all=max_idx, max_val_all=max_val
+        )
     if sanity_checks:
         # pooling invariance: reconstructing only the critical points must
         # equal reconstructing the full cloud

@@ -18,25 +18,33 @@ from __future__ import annotations
 import numpy as np
 
 
-def get_critical_points(point_clouds, pre_symmetry_data):
+def get_critical_points(point_clouds, pre_symmetry_data=None, *,
+                        max_idx_all=None, max_val_all=None):
     """Per-cloud critical points, sorted by how many channels they win.
 
     reference: src/ae_utils.py:12-48 (minus the save-to-disk plumbing).
+
+    Accepts either the full pre-symmetry feature map [N, n, bneck] or the
+    precomputed per-channel (argmax, max) pair [N, bneck] — the latter is
+    what the CLI ships from device (the full map is n times larger and
+    dominated the defense stage's host transfer).
 
     Returns (critical_points [N, bneck, 3] zero-padded,
              idx_critical [N, bneck] int16 zero-padded,
              num_critical [N] int16).
     """
-    num_pc, _, bottleneck_size = pre_symmetry_data.shape
+    if max_idx_all is None:
+        max_val_all = np.max(pre_symmetry_data, axis=1)
+        max_idx_all = np.argmax(pre_symmetry_data, axis=1)
+    num_pc, bottleneck_size = max_idx_all.shape
     critical_points = np.zeros(
         [num_pc, bottleneck_size, 3], dtype=point_clouds.dtype
     )
     idx_critical = np.zeros([num_pc, bottleneck_size], dtype=np.int16)
     num_critical = np.zeros(num_pc, dtype=np.int16)
     for i in range(num_pc):
-        pre = pre_symmetry_data[i]
-        max_val = np.max(pre, axis=0)
-        max_idx = np.argmax(pre, axis=0)
+        max_val = max_val_all[i]
+        max_idx = max_idx_all[i]
         # drop channels whose entire column is <= 0 (dead ReLU channels)
         max_idx_non_zero = max_idx[max_val > 0.0]
         idx_critical_pc, counts = np.unique(
@@ -59,7 +67,8 @@ def _complementary_idx(idx, n):
     return np.arange(n, dtype=int)[indicator]
 
 
-def get_critical_pc_non_critical_pc(point_clouds, pre_symmetry_data):
+def get_critical_pc_non_critical_pc(point_clouds, pre_symmetry_data=None, *,
+                                    max_idx_all=None, max_val_all=None):
     """Split each cloud into critical / non-critical full-size clouds.
 
     Both outputs keep the input's [N, n, 3] shape by duplicating the last
@@ -67,7 +76,8 @@ def get_critical_pc_non_critical_pc(point_clouds, pre_symmetry_data):
     reference: src/ae_utils.py:51-80.
     """
     critical_points, critical_idx, critical_num = get_critical_points(
-        point_clouds, pre_symmetry_data
+        point_clouds, pre_symmetry_data,
+        max_idx_all=max_idx_all, max_val_all=max_val_all,
     )
 
     num_pc, n_points, _ = point_clouds.shape

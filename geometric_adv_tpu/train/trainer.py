@@ -186,6 +186,32 @@ class AETrainer:
     def get_pre_symmetry_data(self, pclouds, batch_size=50):
         return self._batched_forward(pclouds, batch_size=batch_size)["pre"]
 
+    def get_pre_symmetry_argmax(self, pclouds, batch_size=250):
+        """Per-channel (argmax, max) of the pre-symmetry features, reduced
+        on device — n_points times less host transfer than shipping the full
+        [N, n, bneck] map (which dominated the critical-points defense
+        through a remote TPU relay)."""
+        if not hasattr(self, "_jit_pre_argmax"):
+            @jax.jit
+            def pre_argmax(state, x):
+                _, _, pre = self.model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    x, train=False,
+                )
+                return (
+                    jnp.argmax(pre, axis=-2).astype(jnp.int32),
+                    jnp.max(pre, axis=-2),
+                )
+            self._jit_pre_argmax = pre_argmax
+        idxs, vals = [], []
+        pcs = np.asarray(pclouds, np.float32)
+        for s in range(0, len(pcs), batch_size):
+            i, v = self._jit_pre_argmax(self.state, pcs[s : s + batch_size])
+            idxs.append(np.asarray(i))
+            vals.append(np.asarray(v))
+        return np.concatenate(idxs), np.concatenate(vals)
+
     def get_loss_per_pc(self, feed_data, orig_data=None, batch_size=50):
         return self._batched_forward(
             feed_data, orig_data, batch_size=batch_size
