@@ -151,10 +151,17 @@ class AETrainer:
         self.state, loss, recon = self._jit_train_step(self.state, x, gt)
         return np.asarray(recon), float(loss)
 
-    def _batched_forward(self, pclouds, gt=None, batch_size=50):
-        """Chunked inference over an arbitrary number of clouds."""
+    def _batched_forward(self, pclouds, gt=None, batch_size=50,
+                         outputs=("recon", "z", "pre", "loss")):
+        """Chunked inference over an arbitrary number of clouds.
+
+        Only the requested ``outputs`` are materialised to host — the rest
+        stay device-resident and are dropped (the pre-symmetry map is
+        bneck/3 times larger than the clouds; shipping it on every
+        get_reconstructions call dominated remote-TPU runs)."""
         gt = pclouds if gt is None else gt
-        outs = {"recon": [], "z": [], "pre": [], "loss": []}
+        names = ("recon", "z", "pre", "loss")
+        outs = {k: [] for k in outputs}
         n = len(pclouds)
         shard_of = 1 if self.mesh is None else self.mesh.devices.size
         for s in range(0, n, batch_size):
@@ -165,26 +172,32 @@ class AETrainer:
             if self.mesh is not None:
                 sh = batch_sharding(self.mesh)
                 xb, gb = jax.device_put(xb, sh), jax.device_put(gb, sh)
-            recon, z, pre, loss = self._jit_forward(self.state, xb, gb)
-            outs["recon"].append(np.asarray(recon)[:n_orig])
-            outs["z"].append(np.asarray(z)[:n_orig])
-            outs["pre"].append(np.asarray(pre)[:n_orig])
-            outs["loss"].append(np.asarray(loss)[:n_orig])
+            results = dict(zip(names, self._jit_forward(self.state, xb, gb)))
+            for k in outputs:
+                outs[k].append(np.asarray(results[k])[:n_orig])
         return {k: np.concatenate(v) for k, v in outs.items()}
 
     def reconstruct(self, x, gt=None, compute_loss=True):
-        out = self._batched_forward(x, gt, batch_size=len(x))
+        out = self._batched_forward(
+            x, gt, batch_size=len(x), outputs=("recon", "loss")
+        )
         loss = float(out["loss"].mean()) if compute_loss else None
         return out["recon"], loss
 
     def get_reconstructions(self, pclouds, batch_size=50):
-        return self._batched_forward(pclouds, batch_size=batch_size)["recon"]
+        return self._batched_forward(
+            pclouds, batch_size=batch_size, outputs=("recon",)
+        )["recon"]
 
     def get_latent_vectors(self, pclouds, batch_size=50):
-        return self._batched_forward(pclouds, batch_size=batch_size)["z"]
+        return self._batched_forward(
+            pclouds, batch_size=batch_size, outputs=("z",)
+        )["z"]
 
     def get_pre_symmetry_data(self, pclouds, batch_size=50):
-        return self._batched_forward(pclouds, batch_size=batch_size)["pre"]
+        return self._batched_forward(
+            pclouds, batch_size=batch_size, outputs=("pre",)
+        )["pre"]
 
     def get_pre_symmetry_argmax(self, pclouds, batch_size=250):
         """Per-channel (argmax, max) of the pre-symmetry features, reduced
@@ -214,7 +227,7 @@ class AETrainer:
 
     def get_loss_per_pc(self, feed_data, orig_data=None, batch_size=50):
         return self._batched_forward(
-            feed_data, orig_data, batch_size=batch_size
+            feed_data, orig_data, batch_size=batch_size, outputs=("loss",)
         )["loss"]
 
     def transform(self, x):
@@ -241,7 +254,7 @@ class AETrainer:
             feed = apply_augmentations(original, conf)
         out = self._batched_forward(
             feed.astype(np.float32), original.astype(np.float32),
-            batch_size=conf.batch_size,
+            batch_size=conf.batch_size, outputs=("recon", "loss"),
         )
         data_loss = float(out["loss"].mean())
         print("evaluation loss=", "{:.9f}".format(data_loss))
