@@ -35,6 +35,15 @@ def _pair_chamfer(src, tgt, method="direct"):
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("method",))
+def _pair_chamfer_indexed(pcs, ii, jj, method="auto"):
+    """Chamfer for index pairs of a device-resident cloud set — per dispatch
+    only the [k] index arrays cross the host boundary (the clouds upload
+    once), which matters through remote relays."""
+    d1, _, d2, _ = nn_distance(pcs[ii], pcs[jj], method)
+    return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+
+
 def chamfer_distance_matrix(
     point_clouds: np.ndarray,
     pair_block: int = 4096,
@@ -63,17 +72,31 @@ def chamfer_distance_matrix(
     shard_of = 1 if mesh is None else mesh.devices.size
     sharding = None if mesh is None else batch_sharding(mesh)
 
+    # clouds upload once; per block only the index arrays cross the host
+    # boundary (through remote relays the src/tgt gathers were the
+    # bottleneck at ~200MB/dispatch)
+    pcs_dev = jnp.asarray(pcs)
+    if mesh is not None:
+        from geometric_adv_tpu.parallel.mesh import replicated
+
+        pcs_dev = jax.device_put(pcs_dev, replicated(mesh))
+
     for s in range(0, len(iu), pair_block):
-        ii = iu[s : s + pair_block]
-        jj = ju[s : s + pair_block]
-        src, n_orig = pad_to_multiple(pcs[ii], shard_of)
-        tgt, _ = pad_to_multiple(pcs[jj], shard_of)
+        ii, n_orig = pad_to_multiple(
+            iu[s : s + pair_block].astype(np.int32), shard_of
+        )
+        jj, _ = pad_to_multiple(
+            ju[s : s + pair_block].astype(np.int32), shard_of
+        )
         if sharding is not None:
-            src = jax.device_put(src, sharding)
-            tgt = jax.device_put(tgt, sharding)
-        d = np.asarray(_pair_chamfer(src, tgt, method))[:n_orig]
-        out[ii, jj] = d
-        out[jj, ii] = d
+            ii_d = jax.device_put(ii, sharding)
+            jj_d = jax.device_put(jj, sharding)
+        else:
+            ii_d, jj_d = ii, jj
+        d = np.asarray(_pair_chamfer_indexed(pcs_dev, ii_d, jj_d, method))
+        d = d[:n_orig]
+        out[iu[s : s + pair_block], ju[s : s + pair_block]] = d
+        out[ju[s : s + pair_block], iu[s : s + pair_block]] = d
         if progress and (s // pair_block) % 16 == 0:
             print(f"chamfer matrix: {s + n_orig}/{len(iu)} pairs")
     return out
