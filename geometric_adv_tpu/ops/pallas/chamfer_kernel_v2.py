@@ -7,11 +7,16 @@ emulation. At K=3 the VPU is the right unit: this kernel computes
 ``(x0-y0)^2 + (x1-y1)^2 + (x2-y2)^2`` directly from broadcast coordinate
 planes — exact f32, no matmul, ~8 VPU ops per element.
 
-Layout strategy (Mosaic constraint: sublane-broadcasting a lane-offset row
-fails): the m axis is a GRID dimension so each program's y-coordinate rows
-arrive at lane offset 0; x-coordinate columns may sit at sublane offsets
-(fine for lane-broadcast). d1/i1 accumulate across m-grid steps in revisited
-output blocks (TPU grids run sequentially); d2/i2 are owned per m-tile.
+Grid/layout strategy:
+- the grid is (batch, n-tiles, m-tiles) so every VMEM block is tile-sized —
+  arbitrary n/m (e.g. AtlasNet's 2500 recon vs 2048 target) fit the 16MB
+  scoped-VMEM budget;
+- m iterates fastest, so the d1/i1 accumulator blocks for a fixed n-tile
+  stay VMEM-resident across their m sweep (TPU grids run sequentially);
+  d2/i2 blocks are revisited once per n-tile (cheap: [1, MT] rows);
+- Mosaic cannot sublane-broadcast a lane-offset row, so y coordinates
+  arrive as offset-0 [1, MT] row blocks (yt pre-transposed on host) and x
+  coordinates as [NT, 1] columns (lane-broadcast tolerates sublane offsets).
 """
 
 from __future__ import annotations
@@ -39,61 +44,59 @@ def _round_up(v: int, mult: int) -> int:
 
 
 def _nn_kernel_v2(
-    x_ref,  # (1, n, 3) full x per batch element
-    yt_ref,  # (1, 8, MT) y^T tile: rows 0-2 coords, offset 0 in lanes
-    d1_ref,  # (1, n, 1) accumulated across m-steps (revisited block)
-    i1_ref,  # (1, n, 1)
-    d2_ref,  # (1, 1, MT) owned by this m-step
+    x_ref,  # (1, NT, 3) x tile
+    yt_ref,  # (1, 8, MT) y^T tile: rows 0-2 coords
+    d1_ref,  # (1, NT, 1) accumulated across m-steps (resident per n-tile)
+    i1_ref,  # (1, NT, 1)
+    d2_ref,  # (1, 1, MT) revisited once per n-tile
     i2_ref,  # (1, 1, MT)
-    *, n, tile_n, tile_m,
+    *, tile_n, tile_m,
 ):
-    mj = pl.program_id(1)
-    m_base = mj * tile_m
+    ni = pl.program_id(1)
+    mj = pl.program_id(2)
 
     @pl.when(mj == 0)
-    def _init():
-        d1_ref[0] = jnp.full((n, 1), _BIG, jnp.float32)
-        i1_ref[0] = jnp.zeros((n, 1), jnp.int32)
+    def _init_rows():
+        d1_ref[0] = jnp.full((tile_n, 1), _BIG, jnp.float32)
+        i1_ref[0] = jnp.zeros((tile_n, 1), jnp.int32)
 
-    y0 = yt_ref[0][0:1, :]  # [1, MT] lane-offset 0
+    @pl.when(ni == 0)
+    def _init_cols():
+        d2_ref[0] = jnp.full((1, tile_m), _BIG, jnp.float32)
+        i2_ref[0] = jnp.zeros((1, tile_m), jnp.int32)
+
+    xt = x_ref[0]  # [NT, 3]
+    y0 = yt_ref[0][0:1, :]  # [1, MT]
     y1 = yt_ref[0][1:2, :]
     y2 = yt_ref[0][2:3, :]
 
-    cmin = jnp.full((1, tile_m), _BIG, jnp.float32)
-    carg = jnp.zeros((1, tile_m), jnp.int32)
+    dx = xt[:, 0:1] - y0  # [NT, MT]
+    dy = xt[:, 1:2] - y1
+    dz = xt[:, 2:3] - y2
+    d = dx * dx + dy * dy + dz * dz
+
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 0)
 
-    for ni in range(n // tile_n):
-        nsl = slice(ni * tile_n, (ni + 1) * tile_n)
-        xt = x_ref[0][nsl, :]  # [NT, 3]
-        dx = xt[:, 0:1] - y0  # [NT, MT] via lane+sublane broadcast
-        dy = xt[:, 1:2] - y1
-        dz = xt[:, 2:3] - y2
-        d = dx * dx + dy * dy + dz * dz
+    # x -> y direction (min over MT), accumulated across the m sweep
+    tmin = jnp.min(d, axis=1, keepdims=True)  # [NT, 1]
+    targ = jnp.min(
+        jnp.where(d == tmin, col_ids, 2**30), axis=1, keepdims=True
+    ) + mj * tile_m
+    cur = d1_ref[0]
+    better = tmin < cur
+    d1_ref[0] = jnp.where(better, tmin, cur)
+    i1_ref[0] = jnp.where(better, targ, i1_ref[0])
 
-        # x -> y direction (min over MT), accumulated across m-grid steps
-        tmin = jnp.min(d, axis=1, keepdims=True)  # [NT, 1]
-        targ = jnp.min(
-            jnp.where(d == tmin, col_ids, 2**30), axis=1, keepdims=True
-        ) + m_base
-        cur = d1_ref[0, nsl, :]
-        better = tmin < cur
-        d1_ref[0, nsl, :] = jnp.where(better, tmin, cur)
-        cur_i = i1_ref[0, nsl, :]
-        i1_ref[0, nsl, :] = jnp.where(better, targ, cur_i)
-
-        # y -> x direction (min over NT), local to this m-tile
-        t2 = jnp.min(d, axis=0, keepdims=True)  # [1, MT]
-        a2 = jnp.min(
-            jnp.where(d == t2, row_ids, 2**30), axis=0, keepdims=True
-        ) + ni * tile_n
-        better2 = t2 < cmin
-        carg = jnp.where(better2, a2, carg)
-        cmin = jnp.where(better2, t2, cmin)
-
-    d2_ref[0] = cmin
-    i2_ref[0] = carg
+    # y -> x direction (min over NT), accumulated across the n sweep
+    cmin = jnp.min(d, axis=0, keepdims=True)  # [1, MT]
+    carg = jnp.min(
+        jnp.where(d == cmin, row_ids, 2**30), axis=0, keepdims=True
+    ) + ni * tile_n
+    cur2 = d2_ref[0]
+    better2 = cmin < cur2
+    d2_ref[0] = jnp.where(better2, cmin, cur2)
+    i2_ref[0] = jnp.where(better2, carg, i2_ref[0])
 
 
 @jax.jit
@@ -120,27 +123,25 @@ def nn_distance_pallas_v2(x: jax.Array, y: jax.Array):
                      constant_values=_PAD_COORD)
     yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
 
-    kernel = functools.partial(
-        _nn_kernel_v2, n=n_pad, tile_n=tile_n, tile_m=tile_m
-    )
+    kernel = functools.partial(_nn_kernel_v2, tile_n=tile_n, tile_m=tile_m)
     vm = pltpu.VMEM
     d1, i1, d2, i2 = pl.pallas_call(
         kernel,
-        grid=(b, m_pad // tile_m),
+        grid=(b, n_pad // tile_n, m_pad // tile_m),
         in_specs=[
-            pl.BlockSpec((1, n_pad, 3), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tile_n, 3), lambda i, ni, mj: (i, ni, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, 8, tile_m), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 8, tile_m), lambda i, ni, mj: (i, 0, mj),
                          memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tile_n, 1), lambda i, ni, mj: (i, ni, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tile_n, 1), lambda i, ni, mj: (i, ni, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, 1, tile_m), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, tile_m), lambda i, ni, mj: (i, 0, mj),
                          memory_space=vm),
-            pl.BlockSpec((1, 1, tile_m), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, tile_m), lambda i, ni, mj: (i, 0, mj),
                          memory_space=vm),
         ],
         out_shape=[
