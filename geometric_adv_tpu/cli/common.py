@@ -130,3 +130,17 @@ def restore_victim(conf: Configuration, ae_dir: str, restore_epoch=None,
 
 def ensure_dir(path: str) -> str:
     return create_dir(path)
+
+
+def set_matmul_precision(precision: str | None) -> None:
+    """Optionally pin XLA matmul precision.
+
+    TPU matmuls default to bf16, which limits cross-program AE replay to
+    ~1e-3 (different XLA programs tile/fuse differently). The chamfer/EMD
+    metrics are exact regardless (dedicated f32 kernels); pass
+    --matmul_precision float32 to EVERY stage for strict 1e-6 replay parity
+    at ~15% throughput cost."""
+    if precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", precision)

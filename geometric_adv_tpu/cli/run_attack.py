@@ -40,8 +40,12 @@ def main():
     parser.add_argument("--output_folder_name", type=str, default="attack_res")
     parser.add_argument("--project_dir", type=str, default=".")
     parser.add_argument("--use_mesh", type=int, default=1)
+    parser.add_argument("--matmul_precision", type=str, default=None)
     flags = parser.parse_args()
     print("Run attack flags:", flags)
+    from geometric_adv_tpu.cli.common import set_matmul_precision
+
+    set_matmul_precision(flags.matmul_precision)
 
     assert flags.loss_dist_type in ("pert", "chamfer")
     assert flags.loss_adv_type in ("latent", "chamfer")

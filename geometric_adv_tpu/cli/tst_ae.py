@@ -22,8 +22,12 @@ def main():
     parser.add_argument("--output_folder_name", type=str, default="eval")
     parser.add_argument("--project_dir", type=str, default=".")
     parser.add_argument("--data_folder", type=str, default="data/synthetic_2048")
+    parser.add_argument("--matmul_precision", type=str, default=None)
     flags = parser.parse_args()
     print("Test autoencoder flags:", flags)
+    from geometric_adv_tpu.cli.common import set_matmul_precision
+
+    set_matmul_precision(flags.matmul_precision)
     assert flags.set_type in ("train_set", "val_set", "test_set")
 
     top_in_dir = osp.join(flags.project_dir, flags.data_folder)
