@@ -29,7 +29,8 @@ def main():
     parser.add_argument("--get_latent_nn_idx", type=int, default=0)
     parser.add_argument("--get_chamfer_nn_idx", type=int, default=0)
     parser.add_argument("--num_instance_per_class", type=int, default=100)
-    parser.add_argument("--pair_block", type=int, default=4096)
+    parser.add_argument("--pair_block", type=int, default=512)
+    parser.add_argument("--blocks_per_chunk", type=int, default=256)
     flags = parser.parse_args()
     print("Prepare indices flags:", flags)
 
@@ -62,7 +63,8 @@ def main():
     if flags.get_chamfer_nn_idx:
         t0 = time.time()
         mat = chamfer_distance_matrix(
-            point_clouds, pair_block=flags.pair_block, progress=True
+            point_clouds, pair_block=flags.pair_block,
+            blocks_per_chunk=flags.blocks_per_chunk, progress=True
         )
         n_pairs = len(point_clouds) * (len(point_clouds) + 1) // 2
         dt = time.time() - t0
