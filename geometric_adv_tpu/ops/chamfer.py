@@ -171,6 +171,30 @@ def _nn_distance_bwd(method, res, cotangents):
 nn_distance.defvjp(_nn_distance_fwd, _nn_distance_bwd)
 
 
+def nn_distance_values(
+    xyz1: Array, xyz2: Array, method: str = "auto"
+) -> tuple[Array, Array]:
+    """Bidirectional NN squared distances only — no argmin indices.
+
+    Non-differentiable fast path for consumers that never read the indices
+    (the all-pairs chamfer matrix job): on TPU the min-only Pallas kernel
+    skips the argmin bookkeeping (~40% of the VPU ops of the full kernel).
+    Same distance semantics as ``nn_distance``.
+    """
+    if method == "auto":
+        method = "pallas" if _on_tpu() else "direct"
+    if method == "pallas":
+        if _on_tpu():
+            from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
+                nn_distance_values_pallas,
+            )
+
+            return nn_distance_values_pallas(xyz1, xyz2)
+        method = "direct"
+    sqd = pairwise_sqdist(xyz1, xyz2, method=method)
+    return jnp.min(sqd, axis=-1), jnp.min(sqd, axis=-2)
+
+
 def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "auto") -> Array:
     """Per-cloud Chamfer distance: mean(d1) + mean(d2) of squared L2 NN dists.
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from geometric_adv_tpu.ops.chamfer import nn_distance
+from geometric_adv_tpu.ops.chamfer import nn_distance, nn_distance_values
 
 # Pairs per scan step: the gathered [kb, n, 3] source/target blocks are the
 # HBM working set (kb=512 @2048 pts = 12.6 MB each) — large enough to fill
@@ -48,7 +48,7 @@ def _pair_chamfer_indexed(pcs, ii, jj, method="auto"):
     """Chamfer for index pairs of a device-resident cloud set — one block,
     one dispatch. Kept for small jobs and tests; the matrix job uses the
     scanned ``_pair_chamfer_chunk``."""
-    d1, _, d2, _ = nn_distance(pcs[ii], pcs[jj], method)
+    d1, d2 = nn_distance_values(pcs[ii], pcs[jj], method)
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 
 

@@ -99,6 +99,101 @@ def _nn_kernel_v2(
     i2_ref[0] = jnp.where(better2, carg, i2_ref[0])
 
 
+def _nn_values_kernel_v2(
+    x_ref,  # (1, NT, 3)
+    yt_ref,  # (1, 8, MT)
+    d1_ref,  # (1, NT, 1)
+    d2_ref,  # (1, 1, MT)
+    *, tile_n, tile_m,
+):
+    """Min-distance-only variant: skips the argmin bookkeeping (iota +
+    compare + selects), ~40% fewer VPU ops — for consumers that never read
+    the indices (the all-pairs matrix job, loss-only forwards)."""
+    ni = pl.program_id(1)
+    mj = pl.program_id(2)
+
+    @pl.when(mj == 0)
+    def _init_rows():
+        d1_ref[0] = jnp.full((tile_n, 1), _BIG, jnp.float32)
+
+    @pl.when(ni == 0)
+    def _init_cols():
+        d2_ref[0] = jnp.full((1, tile_m), _BIG, jnp.float32)
+
+    xt = x_ref[0]
+    y0 = yt_ref[0][0:1, :]
+    y1 = yt_ref[0][1:2, :]
+    y2 = yt_ref[0][2:3, :]
+
+    dx = xt[:, 0:1] - y0
+    dy = xt[:, 1:2] - y1
+    dz = xt[:, 2:3] - y2
+    d = dx * dx + dy * dy + dz * dz
+
+    d1_ref[0] = jnp.minimum(d1_ref[0], jnp.min(d, axis=1, keepdims=True))
+    d2_ref[0] = jnp.minimum(d2_ref[0], jnp.min(d, axis=0, keepdims=True))
+
+
+@jax.jit
+def nn_distance_values_pallas(x: jax.Array, y: jax.Array):
+    """Fused min-only nn_distance: [b,n,3],[b,m,3] -> (d1 [b,n], d2 [b,m]).
+
+    Same distance semantics as nn_distance_pallas_v2 but without the argmin
+    outputs (non-differentiable; use where indices/gradients are unneeded).
+    """
+    lead = x.shape[:-2]
+    n, m = x.shape[-2], y.shape[-2]
+    x2 = x.reshape((-1, n, 3)).astype(jnp.float32)
+    y2 = y.reshape((-1, m, 3)).astype(jnp.float32)
+    b = x2.shape[0]
+
+    n_pad = _round_up(max(n, 256), 256)
+    m_pad = _round_up(max(m, 256), 256)
+    tile_n = _pick_tile(n_pad)
+    tile_m = _pick_tile(m_pad)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n), (0, 0)),
+                     constant_values=_PAD_COORD)
+    if m_pad != m:
+        y2 = jnp.pad(y2, ((0, 0), (0, m_pad - m), (0, 0)),
+                     constant_values=_PAD_COORD)
+    yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+
+    kernel = functools.partial(
+        _nn_values_kernel_v2, tile_n=tile_n, tile_m=tile_m
+    )
+    vm = pltpu.VMEM
+    d1, d2 = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tile_n, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda i, ni, mj: (i, ni, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 8, tile_m), lambda i, ni, mj: (i, 0, mj),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_n, 1), lambda i, ni, mj: (i, ni, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, tile_m), lambda i, ni, mj: (i, 0, mj),
+                         memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_pad * m_pad,
+            bytes_accessed=b * (n_pad + m_pad) * 16,
+            transcendentals=0,
+        ),
+    )(x2, yt)
+
+    d1 = d1[:, :n, 0].reshape(lead + (n,))
+    d2 = d2[:, 0, :m].reshape(lead + (m,))
+    return d1, d2
+
+
 @jax.jit
 def nn_distance_pallas_v2(x: jax.Array, y: jax.Array):
     """Exact fused nn_distance, direct-diff VPU formulation.

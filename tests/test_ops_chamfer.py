@@ -116,3 +116,15 @@ def test_vmap_and_unbatched(rng):
     assert d1.shape == (2, 3, 20)
     d1v, _, _, _ = jax.vmap(nn_distance)(x, y)
     np.testing.assert_allclose(d1, d1v, atol=1e-7)
+
+
+def test_nn_distance_values(rng):
+    """Min-only fast path matches the full op's distances exactly."""
+    from geometric_adv_tpu.ops.chamfer import nn_distance_values
+
+    x = rng.randn(4, 33, 3).astype(np.float32)
+    y = rng.randn(4, 57, 3).astype(np.float32)
+    d1, _, d2, _ = nn_distance(x, y)
+    v1, v2 = nn_distance_values(x, y)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(v2))
