@@ -1,6 +1,8 @@
 """Headline benchmark: attack iterations/sec per chip at 1024 points.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+    {"metric", "value", "unit", "vs_baseline", "extras": {...}}
+All progress/diagnostics go to stderr so the stdout contract stays clean.
 
 Workload (BASELINE.md north star): the geometric adversarial attack loop —
 per iteration: frozen victim-AE forward + backward w.r.t. the perturbation
@@ -9,27 +11,66 @@ tracking, at 1024 points per cloud. One "iteration" = one Adam step for ONE
 source/target pair (the reference steps a batch of 10 pairs per sess.run
 round trip; we normalise to pairs so the number is batch-size independent).
 
+Robustness (this is the round's official perf record):
+- the first device op is retried with backoff — the remote TPU relay has a
+  documented wedge state that clears within ~3 minutes;
+- every timed repetition uses FRESH random inputs: the relay caches identical
+  (executable, inputs) executions, so re-timing the warmup inputs would
+  silently measure the cache;
+- >= 3 timed repetitions, median reported.
+
 Baseline: the reference publishes no numbers (BASELINE.md). Reference
 structure: ~2 sess.run round trips per iteration on batch 10 on a V100
 (reference: src/adv_ae.py:216-221). A generous V100 estimate — AE fwd+bwd +
-2048-pt chamfer at batch 10 in ~8 ms/iteration — gives ~1250 pair-iters/sec;
-that constant is the denominator for vs_baseline.
+chamfer at batch 10 in ~8 ms/iteration — gives ~1250 pair-iters/sec; that
+constant is the denominator for vs_baseline.
+
+Secondary metric (the second north-star axis, BASELINE.md): chamfer
+pair-evals/sec at 2048 pts, measured by the all-pairs matrix job
+(reference: attacker/prepare_indices_for_attack.py:104-156).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_PAIR_ITERS_PER_SEC = 1250.0
+# v5e bf16 peak per chip; used only for the informational MFU estimate.
+PEAK_FLOPS = 197e12
+# Analytic cost of one attack pair-iteration @1024 pts (fwd+bwd+Adam):
+# encoder MLP [64,128,128,256,128] = 90,304 MAC/point * 2 * 1024 ~ 185 MF,
+# decoder FC ~ 1.8 MF, two 1024^2 chamfers ~ 17 MF; x3 for backward ~ 0.61 GF.
+FLOPS_PER_PAIR_ITER = 0.61e9
 
 N_POINTS = 1024
 BATCH_PAIRS = 256
 NUM_ITERS = 200
-WARMUP_ITERS = 20
+TIMED_REPS = 3
+
+MATRIX_CLOUDS = 512
+MATRIX_POINTS = 2048
 
 
-def main():
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _retry(fn, what, delays=(10, 30, 60, 120)):
+    """Retry a device-touching callable through relay wedge windows."""
+    for i, delay in enumerate(delays):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — relay errors are varied
+            _log(f"bench: {what} attempt {i + 1} failed: {type(e).__name__}: {e}")
+            _log(f"bench: retrying in {delay}s")
+            time.sleep(delay)
+    return fn()  # final attempt propagates
+
+
+def bench_attack():
+    """Median attack pair-iters/s/chip @1024 pts over fresh-input reps."""
     import jax
 
     from geometric_adv_tpu.attack.core import AttackRunner
@@ -57,24 +98,75 @@ def main():
         mesh=mesh,
     )
 
-    rng = np.random.RandomState(0)
-    x = rng.rand(BATCH_PAIRS, N_POINTS, 3).astype(np.float32) - 0.5
-    gt = rng.rand(BATCH_PAIRS, N_POINTS, 3).astype(np.float32) - 0.5
-    tz = trainer.get_latent_vectors(gt, batch_size=BATCH_PAIRS)
+    def make_inputs(seed):
+        rng = np.random.RandomState(seed)
+        x = rng.rand(BATCH_PAIRS, N_POINTS, 3).astype(np.float32) - 0.5
+        gt = rng.rand(BATCH_PAIRS, N_POINTS, 3).astype(np.float32) - 0.5
+        return x, gt
+
+    w = np.asarray([1.0], np.float32)
     ref = np.ones(BATCH_PAIRS, np.float32)
 
-    # warmup: compile + one full run
-    runner._attack_fn(x, tz, gt, ref, np.asarray([1.0], np.float32))[
-        0
-    ].block_until_ready()
+    # Latent targets once (this is also the retried first device op).
+    x0, gt0 = make_inputs(0)
+    tz = _retry(
+        lambda: trainer.get_latent_vectors(gt0, batch_size=BATCH_PAIRS),
+        "first device op (get_latent_vectors)",
+    )
 
-    t0 = time.time()
-    runner._attack_fn(x, tz, gt, ref, np.asarray([1.0], np.float32))[
-        0
-    ].block_until_ready()
-    dt = time.time() - t0
+    # Warmup: compile + one full run (inputs never reused for timing).
+    _retry(
+        lambda: runner._attack_fn(x0, tz, gt0, ref, w)[0].block_until_ready(),
+        "attack warmup/compile",
+    )
+    _log("bench: attack warmup done")
 
-    pair_iters_per_sec = BATCH_PAIRS * (NUM_ITERS + 1) / dt / max(n_dev, 1)
+    rates = []
+    for rep in range(TIMED_REPS):
+        x, gt = make_inputs(rep + 1)  # fresh inputs: defeat the relay cache
+        t0 = time.time()
+        runner._attack_fn(x, tz, gt, ref, w)[0].block_until_ready()
+        dt = time.time() - t0
+        rate = BATCH_PAIRS * (NUM_ITERS + 1) / dt / max(n_dev, 1)
+        rates.append(rate)
+        _log(f"bench: attack rep {rep + 1}/{TIMED_REPS}: {rate:.0f} pair-iters/s")
+    return float(np.median(rates))
+
+
+def bench_chamfer_matrix():
+    """Chamfer pair-evals/s @2048 pts via the all-pairs matrix job."""
+    from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+
+    def run(seed):
+        rng = np.random.RandomState(seed)
+        pcs = rng.rand(MATRIX_CLOUDS, MATRIX_POINTS, 3).astype(np.float32)
+        n_pairs = MATRIX_CLOUDS * (MATRIX_CLOUDS + 1) // 2
+        t0 = time.time()
+        chamfer_distance_matrix(pcs)
+        return n_pairs / (time.time() - t0)
+
+    _retry(lambda: run(100), "chamfer matrix warmup")  # compile
+    rates = [run(100 + rep + 1) for rep in range(TIMED_REPS)]
+    for r in rates:
+        _log(f"bench: chamfer matrix rep: {r:.0f} pair-evals/s")
+    return float(np.median(rates))
+
+
+def main():
+    pair_iters_per_sec = bench_attack()
+
+    extras = {}
+    try:
+        extras["chamfer_pair_evals_per_sec_2048pts"] = round(
+            bench_chamfer_matrix(), 1
+        )
+    except Exception as e:  # secondary metric must not sink the record
+        _log(f"bench: chamfer matrix metric failed: {type(e).__name__}: {e}")
+
+    flops = pair_iters_per_sec * FLOPS_PER_PAIR_ITER
+    extras["est_tflops"] = round(flops / 1e12, 2)
+    extras["est_mfu_vs_v5e_bf16_peak"] = round(flops / PEAK_FLOPS, 4)
+
     print(
         json.dumps(
             {
@@ -84,6 +176,7 @@ def main():
                 "vs_baseline": round(
                     pair_iters_per_sec / BASELINE_PAIR_ITERS_PER_SEC, 2
                 ),
+                "extras": extras,
             }
         )
     )

@@ -50,6 +50,25 @@ def jitter_point_cloud(batch, sigma=0.01, clip=0.05, rng=None):
     )
 
 
+def bn_momentum_schedule(
+    step, batch_size, decay_step=200000.0, init_decay=0.5,
+    decay_decay_rate=0.5, clip=0.99,
+):
+    """The reference's annealed BN decay, 0.5 -> 0.99.
+
+    bn_decay(step) = min(0.99, 1 - 0.5 * 0.5^floor(step*bs/decay_step))
+    (staircase exponential on the example count; reference:
+    classifier/train_classifier.py:80-83,104-110). TF's ``decay`` and flax's
+    ``momentum`` share the convention ra = m*ra + (1-m)*batch_stat, so the
+    value feeds flax BatchNorm directly.
+    """
+    examples = jnp.asarray(step, jnp.float32) * batch_size
+    momentum = init_decay * decay_decay_rate ** jnp.floor(
+        examples / decay_step
+    )
+    return jnp.minimum(clip, 1.0 - momentum)
+
+
 class ClassifierTrainer:
     def __init__(
         self,
@@ -67,9 +86,7 @@ class ClassifierTrainer:
         self.num_points = num_points
         self.batch_size = batch_size
         self.mesh = mesh
-        # The reference anneals BN decay 0.5 -> 0.99 so running stats adapt
-        # quickly early in training (train_classifier.py:104-110); a lower
-        # constant momentum serves the same purpose for short runs.
+        self.decay_step = decay_step
         self.model = PointNetClassifier(
             num_classes=num_classes, bn_momentum=bn_momentum
         )
@@ -137,11 +154,19 @@ class ClassifierTrainer:
         return epoch_fn
 
     def _train_step(self, state: ClsState, x, labels, dropout_rng):
+        # annealed BN decay 0.5 -> 0.99 (reference:
+        # classifier/train_classifier.py:104-110), traced from the step
+        # counter so the whole schedule lives inside the jitted epoch scan
+        mom = bn_momentum_schedule(
+            state.step, self.batch_size, float(self.decay_step)
+        )
+
         def loss_fn(params):
             (logits, transform), updates = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x,
                 train=True,
+                bn_momentum=mom,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )

@@ -23,7 +23,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ae_folder", type=str, default="log/autoencoder_victim")
     parser.add_argument("--attack_pc_idx", type=str, required=True)
-    parser.add_argument("--attack_folder", type=str, default="attack_res")
+    parser.add_argument(
+        "--attack_folder", "--output_folder_name", dest="attack_folder",
+        type=str, default="attack_res",
+        help="attack output dir (reference flag name: --output_folder_name)",
+    )
     parser.add_argument("--project_dir", type=str, default=".")
     parser.add_argument("--batch_size", type=int, default=100)
     flags = parser.parse_args()

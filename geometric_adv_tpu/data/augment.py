@@ -9,6 +9,14 @@ Host-side numpy transforms, matching the reference exactly:
   (reference: src/general_utils.py:124-144);
 - ``rand_rotation_matrix`` (z_only variant used by training,
   reference: src/general_utils.py:16-61).
+
+Plus the device-side equivalent ``device_augment`` (jax.random), used inside
+the scanned epoch program so augmented training configs keep the
+one-dispatch-per-epoch fast path (round-1 measurement: per-step dispatch
+through the remote relay costs 0.38 s/step vs ~15 ms of compute). Same
+distributions as the host path — N(mu, sigma) jitter and one uniform
+z-rotation per batch — but drawn from the jax PRNG stream instead of
+numpy's global one.
 """
 
 from __future__ import annotations
@@ -92,6 +100,47 @@ def apply_augmentations(batch: np.ndarray, conf) -> np.ndarray:
         r_rotation[2, 1] = 0
         r_rotation[2, 2] = 1
         batch = batch.dot(r_rotation)
+    return batch
+
+
+def device_augment(
+    batch,
+    key,
+    gauss_mu: float | None = None,
+    gauss_sigma: float | None = None,
+    z_rotate: bool = False,
+):
+    """jax counterpart of ``apply_augmentations`` for use under jit/scan.
+
+    reference: src/general_utils.py:124-144 — gaussian jitter per element,
+    then ONE random z-rotation for the whole batch (the reference draws a
+    single ``rand_rotation_matrix()`` per batch and right-multiplies).
+    The rotation convention matches ``rand_rotation_matrix(z_only=True)``:
+    ``batch @ [[ct, st, 0], [-st, ct, 0], [0, 0, 1]]`` with
+    theta ~ U[0, 2*pi).
+
+    Args:
+        batch: [b, n, 3] points (traced).
+        key: jax PRNG key for this batch.
+        gauss_mu / gauss_sigma: jitter parameters, or None to skip.
+        z_rotate: whether to apply the random z-rotation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k_noise, k_rot = jax.random.split(key)
+    if gauss_sigma is not None:
+        batch = batch + (
+            gauss_mu
+            + gauss_sigma * jax.random.normal(k_noise, batch.shape, batch.dtype)
+        )
+    if z_rotate:
+        theta = jax.random.uniform(k_rot, (), batch.dtype) * 2.0 * jnp.pi
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        rot = jnp.array(
+            [[ct, st, 0.0], [-st, ct, 0.0], [0.0, 0.0, 1.0]], batch.dtype
+        )
+        batch = batch @ rot
     return batch
 
 

@@ -11,10 +11,12 @@ Loss: softmax cross entropy + 0.001 * l2_loss(T T^T - I) on the feature
 transform (reference: classifier/pointnet_cls.py:87-102; l2_loss is TF's
 sum(x^2)/2 convention).
 
-Deviation from the reference (documented): the reference anneals BN decay
-0.5 -> 0.99 over training (classifier/train_classifier.py:104-110); flax
-BatchNorm momentum is fixed per-module, so a constant 0.9 is used — a
-training-dynamics detail with no effect on the inference contract.
+BN momentum: the reference anneals bn_decay 0.5 -> 0.99 over training
+(classifier/train_classifier.py:104-110, staircase exponential on the
+example count). Both models here accept a per-call ``bn_momentum`` override
+— flax BatchNorm uses momentum arithmetically, so a traced scalar computed
+from the step counter works; ``classify.trainer.bn_momentum_schedule``
+reproduces the reference schedule exactly.
 """
 
 from __future__ import annotations
@@ -37,11 +39,14 @@ class TNet(nn.Module):
     bn_momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, train: bool = False, bn_momentum=None
+    ) -> Array:
+        mom = self.bn_momentum if bn_momentum is None else bn_momentum
         for i, width in enumerate((64, 128, 1024)):
             x = nn.Dense(width, name=f"tconv{i + 1}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=self.bn_momentum,
+                use_running_average=not train, momentum=mom,
                 name=f"tbn{i + 1}",
             )(x)
             x = nn.relu(x)
@@ -49,7 +54,7 @@ class TNet(nn.Module):
         for i, width in enumerate((512, 256)):
             x = nn.Dense(width, name=f"tfc{i + 1}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=self.bn_momentum,
+                use_running_average=not train, momentum=mom,
                 name=f"tfc_bn{i + 1}",
             )(x)
             x = nn.relu(x)
@@ -78,14 +83,19 @@ class PointNetClassifier(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, train: bool = False
+        self, x: Array, train: bool = False, bn_momentum=None
     ) -> tuple[Array, Array]:
-        """Returns (logits [B, num_classes], feature transform [B, 64, 64])."""
+        """Returns (logits [B, num_classes], feature transform [B, 64, 64]).
+
+        ``bn_momentum`` (scalar, may be traced) overrides the static default
+        — the trainer passes the reference's annealed 0.5 -> 0.99 schedule.
+        """
+        mom = self.bn_momentum if bn_momentum is None else bn_momentum
 
         def conv_bn(h, width, name):
             h = nn.Dense(width, name=name)(h)
             h = nn.BatchNorm(
-                use_running_average=not train, momentum=self.bn_momentum,
+                use_running_average=not train, momentum=mom,
                 name=name + "_bn",
             )(h)
             return nn.relu(h)
@@ -93,7 +103,7 @@ class PointNetClassifier(nn.Module):
         if self.use_tnets:
             t_in = TNet(
                 k=3, bn_momentum=self.bn_momentum, name="transform_net1"
-            )(x, train=train)
+            )(x, train=train, bn_momentum=bn_momentum)
             x = jnp.einsum("...nc,...ck->...nk", x, t_in)
 
         x = conv_bn(x, 64, "conv1")
@@ -102,7 +112,7 @@ class PointNetClassifier(nn.Module):
         if self.use_tnets:
             t_feat = TNet(
                 k=64, bn_momentum=self.bn_momentum, name="transform_net2"
-            )(x, train=train)
+            )(x, train=train, bn_momentum=bn_momentum)
             x = jnp.einsum("...nc,...ck->...nk", x, t_feat)
         else:
             t_feat = jnp.broadcast_to(

@@ -26,8 +26,8 @@ Two pairwise-distance formulations are provided:
 
 Both are static-shape, fuse under ``jit``, and vmap/shard cleanly. A fused
 Pallas kernel (min/argmin computed tile-by-tile without materialising the
-[n, m] matrix in HBM) lives in ``ops/pallas/chamfer_kernel.py`` and is used
-automatically on TPU for large point counts.
+[n, m] matrix in HBM) lives in ``ops/pallas/chamfer_kernel_v2.py`` and is
+used automatically on TPU.
 """
 
 from __future__ import annotations

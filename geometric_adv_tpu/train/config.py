@@ -52,6 +52,9 @@ class Configuration:
     decay_steps: int | None = None  # in EPOCHS (reference keys on the epoch
     #   counter, src/pointnet_ae.py:93-95); requires steps_per_epoch
     steps_per_epoch: int | None = None
+    scan_epochs: bool = True  # False: host per-step loop (numpy RNG
+    #   augmentations) — an escape hatch / host-parity test path; True runs
+    #   each epoch as one device program incl. augmentations (device_augment)
 
     # --- experiment identity (reference: autoencoder/train_ae.py:43-77) ---
     experiment_name: str = "autoencoder"

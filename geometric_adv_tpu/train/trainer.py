@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from geometric_adv_tpu.data.augment import apply_augmentations
+from geometric_adv_tpu.data.augment import apply_augmentations, device_augment
 from geometric_adv_tpu.models.pointnet_ae import PointNetAE
 from geometric_adv_tpu.ops import chamfer_loss_per_pc, emd_loss_per_pc
 from geometric_adv_tpu.parallel.mesh import (
@@ -301,36 +301,50 @@ class AETrainer:
 
     # --- training loop (reference: src/autoencoder.py:196-227,
     #     src/pointnet_ae.py:101-138) ------------------------------------
-    def _device_epoch_fn(self, n_batches: int, batch_size: int):
+    def _device_epoch_fn(self, n_batches: int, batch_size: int, conf):
         """One whole epoch as a single device program: shuffle (device PRNG)
-        + lax.scan over the batch train steps. Eliminates the per-step
-        dispatch round trip — through a remote TPU relay that round trip
-        dominates small-step training (measured 0.38 s/step vs ~15 ms of
-        compute at batch 50 x 2048 pts)."""
+        + per-batch augmentations (gauss jitter / z-rotate / denoising feed,
+        reference: src/general_utils.py:124-144) + lax.scan over the batch
+        train steps. Eliminates the per-step dispatch round trip — through a
+        remote TPU relay that round trip dominates small-step training
+        (measured 0.38 s/step vs ~15 ms of compute at batch 50 x 2048 pts).
+
+        ``feed`` is the denoising input set (== ``data`` when not denoising);
+        the same permutation drives both so (feed, gt) pairs stay aligned.
+        """
+        gauss = conf.gauss_augment
+        gauss_mu = None if gauss is None else float(gauss["mu"])
+        gauss_sigma = None if gauss is None else float(gauss["sigma"])
+        z_rotate = bool(conf.z_rotate)
+        augmented = gauss is not None or z_rotate
 
         @jax.jit
-        def epoch_fn(state, data, epoch_key):
+        def epoch_fn(state, data, feed, epoch_key):
             n = data.shape[0]
-            perm = jax.random.permutation(epoch_key, n)
-            batches = data[perm[: n_batches * batch_size]].reshape(
-                (n_batches, batch_size) + data.shape[1:]
-            )
+            perm_key, aug_key = jax.random.split(epoch_key)
+            perm = jax.random.permutation(perm_key, n)[: n_batches * batch_size]
+            bshape = (n_batches, batch_size) + data.shape[1:]
+            gt_batches = data[perm].reshape(bshape)
+            feed_batches = feed[perm].reshape(bshape)
+            aug_keys = jax.random.split(aug_key, n_batches)
 
-            def body(st, batch):
-                st, loss, _ = self._train_step(st, batch, batch)
+            def body(st, inp):
+                gt, batch, key = inp
+                if augmented:
+                    batch = device_augment(
+                        batch, key,
+                        gauss_mu=gauss_mu, gauss_sigma=gauss_sigma,
+                        z_rotate=z_rotate,
+                    )
+                st, loss, _ = self._train_step(st, batch, gt)
                 return st, loss
 
-            state, losses = jax.lax.scan(body, state, batches)
+            state, losses = jax.lax.scan(
+                body, state, (gt_batches, feed_batches, aug_keys)
+            )
             return state, jnp.mean(losses)
 
         return epoch_fn
-
-    def _can_scan_epochs(self, conf) -> bool:
-        return (
-            not conf.is_denoising
-            and conf.gauss_augment is None
-            and not conf.z_rotate
-        )
 
     def _single_epoch(self, train_data, conf, only_fw=False):
         n_batches = train_data.num_examples // conf.batch_size
@@ -359,22 +373,36 @@ class AETrainer:
         conf = conf or self.conf
         stats = []
 
-        scan_epochs = self._can_scan_epochs(conf)
+        # Every config takes the scanned path: augmentations and the
+        # denoising feed run on device (device_augment). ``scan_epochs=False``
+        # remains only as an escape hatch for tests of the host path.
+        scan_epochs = getattr(conf, "scan_epochs", True)
         if scan_epochs:
             n_batches = train_data.num_examples // conf.batch_size
-            epoch_fn = self._device_epoch_fn(n_batches, conf.batch_size)
+            epoch_fn = self._device_epoch_fn(
+                n_batches, conf.batch_size, conf
+            )
             data_dev = jnp.asarray(
                 train_data.point_clouds.astype(np.float32)
             )
+            if conf.is_denoising and train_data.noisy_point_clouds is not None:
+                feed_dev = jnp.asarray(
+                    train_data.noisy_point_clouds.astype(np.float32)
+                )
+            else:
+                feed_dev = data_dev
             if self.mesh is not None:
                 data_dev = jax.device_put(data_dev, replicated(self.mesh))
+                feed_dev = jax.device_put(feed_dev, replicated(self.mesh))
             epoch_key = jax.random.PRNGKey(int(self.state.epoch) + 1)
 
         for _ in range(conf.training_epochs):
             if scan_epochs:
                 t0 = time.time()
                 epoch_key, sub = jax.random.split(epoch_key)
-                self.state, loss_dev = epoch_fn(self.state, data_dev, sub)
+                self.state, loss_dev = epoch_fn(
+                    self.state, data_dev, feed_dev, sub
+                )
                 loss = float(loss_dev)
                 if conf.loss == "emd":
                     loss /= train_data.n_points  # reference: pointnet_ae.py:135

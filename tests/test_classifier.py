@@ -40,6 +40,45 @@ def test_classifier_shapes_and_loss(rng):
     np.testing.assert_allclose(float(loss), float(ce_only), rtol=1e-4)
 
 
+def test_bn_momentum_schedule_matches_reference():
+    """Annealed BN decay 0.5 -> 0.99
+    (reference: classifier/train_classifier.py:80-83,104-110):
+    bn_decay = min(0.99, 1 - 0.5 * 0.5^floor(step*bs/200000)), staircase."""
+    from geometric_adv_tpu.classify.trainer import bn_momentum_schedule
+
+    bs = 32
+    # step 0: 1 - 0.5 = 0.5
+    assert float(bn_momentum_schedule(0, bs)) == 0.5
+    # just below one staircase step: still 0.5
+    assert float(bn_momentum_schedule(200000 // bs - 1, bs)) == 0.5
+    # one staircase step: 1 - 0.25 = 0.75
+    assert float(bn_momentum_schedule(200000 // bs, bs)) == 0.75
+    # two steps: 1 - 0.125 = 0.875
+    assert float(bn_momentum_schedule(2 * 200000 // bs, bs)) == 0.875
+    # far out: clipped at 0.99
+    assert float(bn_momentum_schedule(10**8, bs)) == np.float32(0.99)
+
+
+def test_bn_momentum_override_updates_running_stats():
+    """A per-call (traced) momentum must steer flax BatchNorm's moving
+    stats: momentum ~ 0 adopts the batch stats almost entirely."""
+    model = PointNetClassifier(num_classes=3, use_tnets=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def new_stats(mom):
+        _, upd = model.apply(
+            variables, x, train=True, bn_momentum=jnp.asarray(mom),
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return upd["batch_stats"]["conv1_bn"]["mean"]
+
+    m_low = np.asarray(new_stats(0.01))
+    m_high = np.asarray(new_stats(0.99))
+    # low momentum moves the running mean much further from its init (0)
+    assert np.abs(m_low).mean() > 10 * np.abs(m_high).mean()
+
+
 def test_classifier_learns_synthetic_classes():
     pcs, _, labels, _ = make_dataset(
         class_names=("sphere", "plane_xy", "helix"), n_per_class=16,

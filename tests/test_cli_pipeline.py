@@ -1,11 +1,20 @@
 """End-to-end CLI pipeline smoke test at tiny scale.
 
 Runs the actual stage CLIs as subprocesses (like a user would) against a
-tiny synthetic dataset and checks the artifact contract between stages.
+tiny synthetic dataset and checks the artifact contract between stages —
+then diffs every stage's (small) numeric artifacts bit-wise against the
+checked-in goldens under tests/golden/ (regenerate with
+UPDATE_GOLDENS=1 python -m pytest tests/test_cli_pipeline.py).
+
+The whole pipeline is deterministic on a fixed platform: every stage seeds
+its PRNGs (data seed 42/55, init seeds, jax dropout keys), so any golden
+drift is a real numeric regression (SURVEY §4: the reference's sanity bars
+encode exactly this kind of cross-stage replay parity).
 """
 
 import os
 import os.path as osp
+import shutil
 import subprocess
 import sys
 
@@ -13,6 +22,7 @@ import numpy as np
 import pytest
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+GOLDEN_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "golden")
 
 
 def run_cli(module, *args, cwd=None):
@@ -107,6 +117,32 @@ def test_full_pipeline(pipeline_dir):
     run_cli("evaluate_defense", *common, "--ae_folder", ae,
             "--attack_pc_idx", sel, "--defense_folder", "defense_surface_res")
 
+    # latent-space attack variant — the paper's second headline attack
+    # (reference: attacker/runner_attacker.sh latent_space_attack leg:
+    # loss_adv latent, dist_weight 150.0, same chamfer dist loss)
+    run_cli("run_attack", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--num_pc_for_attack", "2",
+            "--num_pc_for_target", "2", "--num_iterations", "5",
+            "--num_iterations_thresh", "3", "--use_mesh", "0",
+            "--loss_adv_type", "latent", "--dist_weight_list", "150.0",
+            "--output_folder_name", "latent_space_attack")
+    latent_dir = osp.join(eval_dir, "latent_space_attack")
+    lm = np.load(osp.join(latent_dir, "sphere", "adversarial_metrics.npy"))
+    assert lm.shape == (1, 8, 5)
+    lw = np.load(osp.join(latent_dir, "sphere", "dist_weight.npy"))
+    np.testing.assert_array_equal(lw, [150.0])
+    run_cli("get_dists_per_point", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--attack_folder", "latent_space_attack")
+    assert osp.exists(
+        osp.join(latent_dir, "sphere", "adversarial_pc_input_dists.npy")
+    )
+    run_cli("evaluate_attack", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel,
+            "--output_folder_name", "latent_space_attack")
+    assert osp.exists(
+        osp.join(latent_dir, "over_classes", "eval_stats.txt")
+    )
+
     run_cli("train_classifier", *common, "--ae_folder", ae,
             "--data_folder", "data/tiny", "--max_epoch", "2",
             "--batch_size", "8")
@@ -135,3 +171,106 @@ def test_full_pipeline(pipeline_dir):
         osp.join(attack_dir, "transfer_res_atlasnet", "over_classes",
                  "eval_stats.txt")
     )
+
+    # FoldingNet transfer leg (reference: transfer/runner_foldingnet.sh ->
+    # run_transfer.py FoldingNet -> evaluate_transfer.py); decoder output is
+    # the fixed 45x45 fold grid = 2025 points regardless of input size
+    run_cli("train_transfer", *common, "--ae_type", "foldingnet",
+            "--ae_folder", ae, "--data_folder", "data/tiny",
+            "--epochs", "1", "--batch_size", "8")
+    run_cli("run_transfer", *common, "--transfer_ae_type", "FoldingNet",
+            "--transfer_ae_folder", "log/foldingnet_for_transfer",
+            "--ae_folder", ae, "--attack_pc_idx", sel)
+    ftm = np.load(
+        osp.join(attack_dir, "transfer_res_foldingnet", "sphere",
+                 "transfer_metrics.npy")
+    )
+    assert ftm.shape == (1, 8, 4)
+    frec = np.load(
+        osp.join(attack_dir, "transfer_res_foldingnet", "sphere",
+                 "transferred_pc_recon.npy")
+    )
+    assert frec.shape[-2:] == (2025, 3), frec.shape
+    run_cli("evaluate_transfer", *common, "--transfer_ae_type", "FoldingNet",
+            "--ae_folder", ae, "--attack_pc_idx", sel)
+    assert osp.exists(
+        osp.join(attack_dir, "transfer_res_foldingnet", "over_classes",
+                 "eval_stats.txt")
+    )
+
+    _check_goldens(d, eval_dir, attack_dir)
+
+
+# golden-name -> path relative to the stage dirs; one small artifact per
+# pipeline stage (metrics npy / stats txt), bit-compared
+def _golden_map(eval_dir, attack_dir):
+    return {
+        # tst_ae
+        "ae_loss_test_set.npy": osp.join(eval_dir, "ae_loss_test_set_13l.npy"),
+        "latent_vectors_test_set.npy": osp.join(
+            eval_dir, "latent_vectors_test_set_13l.npy"),
+        # prepare_indices
+        "chamfer_nn_idx.npy": osp.join(
+            eval_dir, "chamfer_nn_idx_complete_test_set_13l.npy"),
+        "latent_nn_idx.npy": osp.join(
+            eval_dir, "latent_nn_idx_test_set_13l.npy"),
+        # run_attack (output-space + latent-space variants)
+        "adversarial_metrics_sphere.npy": osp.join(
+            attack_dir, "sphere", "adversarial_metrics.npy"),
+        "adversarial_metrics_latent_sphere.npy": osp.join(
+            eval_dir, "latent_space_attack", "sphere",
+            "adversarial_metrics.npy"),
+        # get_dists_per_point
+        "adversarial_pc_input_dists_sphere.npy": osp.join(
+            attack_dir, "sphere", "adversarial_pc_input_dists.npy"),
+        # evaluate_attack
+        "attack_eval_stats.txt": osp.join(
+            attack_dir, "over_classes", "eval_stats.txt"),
+        "source_target_norm_min_idx_sphere.npy": osp.join(
+            attack_dir, "sphere", "analysis_results",
+            "source_target_norm_min_idx.npy"),
+        # defenses
+        "defense_critical_metrics_sphere.npy": osp.join(
+            attack_dir, "defense_critical_res", "sphere",
+            "defense_metrics.npy"),
+        "defense_surface_metrics_sphere.npy": osp.join(
+            attack_dir, "defense_surface_res", "sphere",
+            "defense_metrics.npy"),
+        # classifier
+        "pc_pred_labels_test_set.npy": osp.join(
+            eval_dir, "pc_pred_labels_test_set_13l.npy"),
+        # transfers
+        "transfer_metrics_atlasnet_sphere.npy": osp.join(
+            attack_dir, "transfer_res_atlasnet", "sphere",
+            "transfer_metrics.npy"),
+        "transfer_metrics_foldingnet_sphere.npy": osp.join(
+            attack_dir, "transfer_res_foldingnet", "sphere",
+            "transfer_metrics.npy"),
+    }
+
+
+def _check_goldens(project_dir, eval_dir, attack_dir):
+    mapping = _golden_map(eval_dir, attack_dir)
+    if os.environ.get("UPDATE_GOLDENS"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name, src in mapping.items():
+            shutil.copy(src, osp.join(GOLDEN_DIR, name))
+        pytest.skip("goldens regenerated — rerun to compare")
+    if not osp.isdir(GOLDEN_DIR):
+        pytest.skip("no goldens checked in")
+    for name, src in mapping.items():
+        golden = osp.join(GOLDEN_DIR, name)
+        assert osp.exists(golden), f"missing golden {name}"
+        if name.endswith(".txt"):
+            got, want = open(src).read(), open(golden).read()
+            assert got == want, (
+                f"golden text drift in {name}:\n--- got ---\n{got}\n"
+                f"--- golden ---\n{want}"
+            )
+        else:
+            got, want = np.load(src), np.load(golden)
+            assert got.shape == want.shape and got.dtype == want.dtype, name
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"golden drift in {name} "
+                "(bit-wise; a numeric regression in some pipeline stage)"
+            )
