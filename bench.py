@@ -114,18 +114,22 @@ def bench_attack():
         "first device op (get_latent_vectors)",
     )
 
+    def run_forced(xa, gta):
+        # force FULL host materialization: block_until_ready through the
+        # remote relay has been observed to return before execution
+        # completes, so the timed region must end with a D2H readback
+        out = runner._attack_fn(xa, tz, gta, ref, w)
+        return float(np.asarray(out.metrics).sum())
+
     # Warmup: compile + one full run (inputs never reused for timing).
-    _retry(
-        lambda: runner._attack_fn(x0, tz, gt0, ref, w)[0].block_until_ready(),
-        "attack warmup/compile",
-    )
+    _retry(lambda: run_forced(x0, gt0), "attack warmup/compile")
     _log("bench: attack warmup done")
 
     rates = []
     for rep in range(TIMED_REPS):
         x, gt = make_inputs(rep + 1)  # fresh inputs: defeat the relay cache
         t0 = time.time()
-        runner._attack_fn(x, tz, gt, ref, w)[0].block_until_ready()
+        run_forced(x, gt)
         dt = time.time() - t0
         rate = BATCH_PAIRS * (NUM_ITERS + 1) / dt / max(n_dev, 1)
         rates.append(rate)

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from geometric_adv_tpu.models.pointnet_ae import PointNetAE
-from geometric_adv_tpu.ops import nn_distance
+from geometric_adv_tpu.ops import chamfer_loss_per_pc, nn_distance
 from geometric_adv_tpu.ops.emd import emd_loss_fused
 from geometric_adv_tpu.parallel.mesh import (
     batch_sharding,
@@ -53,6 +53,10 @@ from geometric_adv_tpu.parallel.mesh import (
 )
 
 Array = jax.Array
+
+# A/B switch: merge the attack's two chamfer evaluations into one batched
+# kernel call. Default False (measured slower; see make_attack_loss).
+BATCH_THE_TWO_CHAMFERS = False
 
 
 class AttackOutputs(NamedTuple):
@@ -109,8 +113,8 @@ def make_attack_loss(
 
     def ae_loss_per_pc(recon, gt):
         if ae_loss_type == "chamfer":
-            d1, _, d2, _ = nn_distance(recon, gt)
-            return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+            # fused loss+grad-payload kernel on TPU (ops/chamfer.py)
+            return chamfer_loss_per_pc(recon, gt)
         # EMD variant via the fused sweep (differentiable cost)
         return emd_loss_fused(recon, gt)
 
@@ -119,13 +123,38 @@ def make_attack_loss(
         z = encode(adv)
         recon = decode(z)
 
-        t_re = ae_loss_per_pc(recon, gt)  # target recon error, per example
-
-        if ae_loss_type == "chamfer":
+        if (
+            BATCH_THE_TWO_CHAMFERS
+            and ae_loss_type == "chamfer"
+            and max_point_dist_weight == 0.0
+            and recon.shape == adv.shape
+            and gt.shape == x.shape
+        ):
+            # one batched fused chamfer for both the target recon error and
+            # the adv-to-source distance (A/B'd OFF by default: measured 25%
+            # SLOWER than two separate calls at [256, 1024] — the merged
+            # kernel serializes the whole distance pass before the encoder
+            # backward can start, losing pipelining against it)
+            both = chamfer_loss_per_pc(
+                jnp.concatenate([recon, adv], axis=0),
+                jnp.concatenate([gt, x], axis=0),
+            )
+            t_re, input_dist_per_pc = jnp.split(both, 2, axis=0)
+            max_dist_per_pc = input_dist_per_pc  # unused (weight 0)
+        elif ae_loss_type == "chamfer" and max_point_dist_weight == 0.0:
+            t_re = chamfer_loss_per_pc(recon, gt)
+            input_dist_per_pc = chamfer_loss_per_pc(adv, x)
+            max_dist_per_pc = input_dist_per_pc  # unused (weight 0)
+        elif ae_loss_type == "chamfer":
+            t_re = ae_loss_per_pc(recon, gt)
+            # the max-point term needs the per-point d1 vector
             d1, _, d2, _ = nn_distance(adv, x)
-            input_dist_per_pc = jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+            input_dist_per_pc = (
+                jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+            )
             max_dist_per_pc = jnp.max(d1, axis=-1)
         else:
+            t_re = ae_loss_per_pc(recon, gt)
             # reference selects the input-dist formulation by the victim's
             # loss type (src/adv_ae.py:129-142); its EMD branch is
             # non-functional (rank-1 reduce_mean(axis=1) on match_cost's [b]

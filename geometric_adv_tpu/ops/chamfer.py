@@ -195,13 +195,97 @@ def nn_distance_values(
     return jnp.min(sqd, axis=-1), jnp.min(sqd, axis=-2)
 
 
+# escape hatch / A-B switch for the fused loss+grad kernel path
+FUSED_LOSS_ENABLED = True
+
+
+def _fused_loss_supported(n: int) -> bool:
+    # the fused kernel needs all n rows resident in one tile
+    return FUSED_LOSS_ENABLED and max(n, 256) <= 2048
+
+
+@jax.custom_vjp
+def _chamfer_per_pc_fused(x1: Array, x2: Array) -> Array:
+    """mean(d1) + mean(d2) per cloud, one fused TPU pass (loss + grad
+    payloads; see ops/pallas/chamfer_loss_kernel.py)."""
+    from geometric_adv_tpu.ops.pallas.chamfer_loss_kernel import (
+        chamfer_loss_payloads,
+    )
+
+    d1, _, d2, _, _, _, _ = chamfer_loss_payloads(x1, x2)
+    return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+
+
+def _chamfer_per_pc_fused_fwd(x1, x2):
+    from geometric_adv_tpu.ops.pallas.chamfer_loss_kernel import (
+        chamfer_loss_payloads,
+    )
+
+    d1, i1, d2, i2, nn1, snn1, cnt1 = chamfer_loss_payloads(x1, x2)
+    loss = jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+    return loss, (x1, x2, i1, i2, nn1, snn1, cnt1)
+
+
+def _chamfer_per_pc_fused_bwd(res, g):
+    x1, x2, i1, i2, nn1, snn1, cnt1 = res
+    n = x1.shape[-2]
+    m = x2.shape[-2]
+    gexp = g[..., None, None]
+    # reference formula (tf_nndistance.cpp:130-163) with the per-pc mean's
+    # uniform weights folded in; payloads make this pure elementwise
+    grad1 = gexp * (
+        (2.0 / n) * (x1 - nn1)
+        + (2.0 / m) * (x1 * cnt1[..., None] - snn1)
+    )
+    # grad2 (same structure, other side) goes through the general payload-
+    # free kernel; XLA removes it when the cotangent path is unused (the
+    # attack differentiates w.r.t. x1 only).
+    if _on_tpu():
+        from geometric_adv_tpu.ops.pallas.chamfer_bwd_kernel import (
+            chamfer_grad1_pallas,
+        )
+
+        g1v = jnp.broadcast_to(g[..., None] / n, x1.shape[:-1])
+        g2v = jnp.broadcast_to(g[..., None] / m, x2.shape[:-1])
+        grad2 = chamfer_grad1_pallas(x2, x1, i2, i1, g2v, g1v)
+    else:
+        # XLA fallback (interpret-mode tests / CPU): same reference formula
+        x1_at_i2 = _take_points(x1, i2)  # [..., m, 3]
+
+        def seg(upd3, upd1):
+            flat_i = i1.reshape((-1,) + i1.shape[-1:])
+            flat_u3 = upd3.reshape((-1,) + upd3.shape[-2:])
+            flat_u1 = upd1.reshape((-1,) + upd1.shape[-1:])
+            z3 = jnp.zeros((flat_i.shape[0], m, 3), x2.dtype)
+            z1 = jnp.zeros((flat_i.shape[0], m), x2.dtype)
+            s3 = jax.vmap(lambda z, i, u: z.at[i].add(u))(z3, flat_i, flat_u3)
+            s1 = jax.vmap(lambda z, i, u: z.at[i].add(u))(z1, flat_i, flat_u1)
+            return (
+                s3.reshape(x2.shape),
+                s1.reshape(x2.shape[:-1]),
+            )
+
+        sx1, cnt2 = seg(x1, jnp.ones(x1.shape[:-1], x1.dtype))
+        grad2 = gexp * (
+            (2.0 / m) * (x2 - x1_at_i2)
+            + (2.0 / n) * (x2 * cnt2[..., None] - sx1)
+        )
+    return grad1, grad2
+
+
+_chamfer_per_pc_fused.defvjp(_chamfer_per_pc_fused_fwd, _chamfer_per_pc_fused_bwd)
+
+
 def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "auto") -> Array:
     """Per-cloud Chamfer distance: mean(d1) + mean(d2) of squared L2 NN dists.
 
     Matches the per-pc attack metric (reference: src/adv_ae.py:118-121) and,
     averaged over the batch, the AE training loss
-    (reference: src/pointnet_ae.py:74-76).
+    (reference: src/pointnet_ae.py:74-76). On TPU (n small enough for the
+    single-tile kernel) the loss+grad run as one fused pass.
     """
+    if method == "auto" and _on_tpu() and _fused_loss_supported(pred.shape[-2]):
+        return _chamfer_per_pc_fused(pred, gt)
     d1, _, d2, _ = nn_distance(pred, gt, method)
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 

@@ -1,22 +1,30 @@
-"""Fused Pallas TPU kernel for the full nn_distance backward (grad wrt xyz1).
+"""Fused Pallas TPU kernels for the full nn_distance backward (grad wrt xyz1).
 
 The reference backward (external/structural_losses/tf_nndistance_g.cu:132-151)
 is: grad1[i] = 2*g1[i]*(x1[i] - x2[idx1[i]])  - scatter_add over j of
 2*g2[j]*(x2[j] - x1[idx2[j]]) at idx2[j].
 
 On TPU both the gather and the scatter serialize badly in XLA. Two
-identities turn the whole thing into MXU matmuls:
+identities remove the data-dependent addressing entirely:
 
 - gather as one-hot contraction: x2[idx1[k]] = sum_j [idx1[k]==j] * x2[j];
 - the scattered term's gather disappears algebraically:
   scatter(g2 * x1[idx2], idx2)[i] = x1[i] * scatter(g2, idx2)[i]
   (because idx2[j]==i implies x1[idx2[j]] == x1[i]).
 
-So per (n-tile, m-tile): build two boolean masks in VMEM and do two
-[8, MT] @ [MT, NT] matmuls — one contracting x2^T against the idx1 one-hot
-(the gather), one contracting [2*g2*x2^T ; 2*g2] against the idx2 one-hot
-(the scatter + its count row). Everything stays in VMEM; grad1 is written
-transposed ([3, n]) and flipped back in XLA.
+Two kernel generations implement those contractions:
+
+- v1 (``chamfer_grad1_pallas_mxu``): two [8, MT] @ [MT, NT] matmuls per tile
+  against one-hot masks. Lesson (mirrors the forward's v1): the matmuls have
+  8 useful rows of 128 — ~6% MXU occupancy — and need ``Precision.HIGHEST``
+  (multi-pass bf16) for exact f32 values, so the systolic array runs at a
+  few percent of peak.
+- v2 (``chamfer_grad1_pallas``, the default): the one-hot contraction IS a
+  masked lane-reduction — ``sum over j of where(mask, val_j, 0)`` — which
+  the VPU executes at full f32 rate, ~19 ops/element, exact (no bf16
+  rounding of the coordinate values). One kernel accumulates all seven
+  reduction rows (3 gathered coords, 3 scattered products, 1 count) across
+  the m sweep; the final grad assembly is cheap XLA elementwise on [n, 3].
 """
 
 from __future__ import annotations
@@ -81,9 +89,150 @@ def _bwd_kernel(
     out_ref[0] = g1row * (x1t - acc_a) - acc_b + x1t * cnt
 
 
+def _bwd_vpu_kernel(
+    idx1_ref,  # [1, NT, 1]  idx1 column for this n-tile
+    x2t_ref,  # [1, 8, MT]  rows 0-2: x2^T coords   (m-tile via grid)
+    b2t_ref,  # [1, 8, MT]  rows 0-2: 2*g2*x2^T, row 3: 2*g2
+    idx2_ref,  # [1, 1, MT]
+    out_ref,  # [1, NT, 8]  lanes 0-2: gathered x2, 3-5: scatter, 6: count
+    *, tile_n, tile_m,
+):
+    # Orientation matters on the VPU (measured): value rows must be
+    # offset-0 [1, MT] blocks (sublane-broadcast of lane-offset rows is
+    # unsupported and column lane-broadcasts are slow), and reductions run
+    # along lanes — the same layout the forward kernel uses.
+    ni = pl.program_id(1)
+    mj = pl.program_id(2)
+
+    @pl.when(mj == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((tile_n, 8), jnp.float32)
+
+    idx1_col = idx1_ref[0]  # [NT, 1]
+    col_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 1)
+        + mj * tile_m
+    )
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 0)
+        + ni * tile_n
+    )
+    # gather mask [NT, MT]: column j contributes to row i iff idx1[i] == j
+    mask_a = (col_ids == idx1_col).astype(jnp.float32)
+    # scatter mask: column j contributes to row i iff idx2[j] == i
+    mask_b = (idx2_ref[0] == row_ids).astype(jnp.float32)
+
+    x2t = x2t_ref[0]  # [8, MT]
+    b2t = b2t_ref[0]
+
+    def red(mask, row):  # [NT, MT] * [1, MT] -> [NT, 1]
+        return jnp.sum(mask * row, axis=1, keepdims=True)
+
+    delta = jnp.concatenate(
+        [
+            red(mask_a, x2t[0:1, :]),
+            red(mask_a, x2t[1:2, :]),
+            red(mask_a, x2t[2:3, :]),
+            red(mask_b, b2t[0:1, :]),
+            red(mask_b, b2t[1:2, :]),
+            red(mask_b, b2t[2:3, :]),
+            red(mask_b, b2t[3:4, :]),
+            jnp.zeros((tile_n, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    out_ref[0] = out_ref[0] + delta
+
+
 @jax.jit
 def chamfer_grad1_pallas(xyz1, xyz2, idx1, idx2, g1, g2):
-    """grad of (sum g1*d1 + sum g2*d2) wrt xyz1, fully fused.
+    """grad of (sum g1*d1 + sum g2*d2) wrt xyz1 — v2 VPU masked-reduction path.
+
+    Shapes: xyz1 [..., n, 3], xyz2 [..., m, 3], idx1 [..., n], idx2 [..., m],
+    g1 [..., n], g2 [..., m] -> [..., n, 3]. Exact f32 (products are
+    0-or-value selects; no bf16 matmul rounding).
+    """
+    lead = xyz1.shape[:-2]
+    n, m = xyz1.shape[-2], xyz2.shape[-2]
+    b = 1
+    for s in lead:
+        b *= s
+
+    n_pad = _round_up(max(n, 256), 256)
+    m_pad = _round_up(max(m, 256), 256)
+    tile_n = _pick_tile(n_pad)
+    tile_m = _pick_tile(m_pad)
+
+    def prep(a, pad_to):
+        a = a.reshape((b, -1) + a.shape[len(lead) + 1 :])
+        pads = [(0, 0), (0, pad_to - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a.astype(jnp.float32), pads)
+
+    x1 = prep(xyz1, n_pad)  # [b, n_pad, 3]
+    x2 = prep(xyz2, m_pad)
+    g1p = prep(2.0 * g1, n_pad)  # [b, n_pad]
+    g2p = prep(2.0 * g2, m_pad)
+    # padded idx1 rows gather x2[0] but g1 there is 0 -> no contribution;
+    # padded idx2 rows scatter with g2 = 0 -> no contribution.
+    i1 = jnp.pad(
+        idx1.reshape((b, n)).astype(jnp.int32), ((0, 0), (0, n_pad - n))
+    )
+    i2 = jnp.pad(
+        idx2.reshape((b, m)).astype(jnp.int32), ((0, 0), (0, m_pad - m))
+    )
+
+    x2t = jnp.pad(jnp.swapaxes(x2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    b2t = jnp.concatenate(
+        [
+            jnp.swapaxes(x2, -1, -2) * g2p[:, None, :],
+            g2p[:, None, :],
+            jnp.zeros((b, 4, m_pad), jnp.float32),
+        ],
+        axis=1,
+    )  # [b, 8, m_pad]
+    i1col = i1[:, :, None]  # [b, n_pad, 1]
+    i2row = i2[:, None, :]  # [b, 1, m_pad]
+
+    kernel = functools.partial(
+        _bwd_vpu_kernel, tile_n=tile_n, tile_m=tile_m
+    )
+    vm = pltpu.VMEM
+    acc = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tile_n, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 1), lambda i, ni, mj: (i, ni, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 8, tile_m), lambda i, ni, mj: (i, 0, mj),
+                         memory_space=vm),
+            pl.BlockSpec((1, 8, tile_m), lambda i, ni, mj: (i, 0, mj),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, tile_m), lambda i, ni, mj: (i, 0, mj),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_n, 8), lambda i, ni, mj: (i, ni, 0), memory_space=vm
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, 8), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=19 * b * m_pad * n_pad,
+            bytes_accessed=b * (n_pad + m_pad) * 40,
+            transcendentals=0,
+        ),
+    )(i1col, x2t, b2t, i2row)
+
+    # grad1 = g1*(x1 - nn1) - (scatter of 2*g2*x2) + x1 * (scatter of 2*g2)
+    nn1 = acc[:, :n, 0:3]  # [b, n, 3]
+    sc = acc[:, :n, 3:6]
+    cnt = acc[:, :n, 6:7]
+    x1n = x1[:, :n]
+    grad = g1p[:, :n, None] * (x1n - nn1) - sc + x1n * cnt
+    return grad.reshape(lead + (n, 3))
+
+
+@jax.jit
+def chamfer_grad1_pallas_mxu(xyz1, xyz2, idx1, idx2, g1, g2):
+    """v1 one-hot-matmul backward (kept for A/B benchmarking).
 
     Shapes: xyz1 [..., n, 3], xyz2 [..., m, 3], idx1 [..., n], idx2 [..., m],
     g1 [..., n], g2 [..., m] -> [..., n, 3].

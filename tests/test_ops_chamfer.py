@@ -128,3 +128,39 @@ def test_nn_distance_values(rng):
     v1, v2 = nn_distance_values(x, y)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(v2))
+
+
+def test_fused_loss_kernel_interpret_mode(rng):
+    """The fused loss+grad-payload kernel (ops/pallas/chamfer_loss_kernel.py)
+    matches the composed path — values bit-wise, grads to float tolerance —
+    run in Pallas interpreter mode on CPU (the TPU path is the same kernel).
+    Includes duplicate points so argmin tie-handling (first occurrence,
+    reference scatter semantics) is exercised."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geometric_adv_tpu.ops.chamfer import _chamfer_per_pc_fused
+
+    x1 = rng.randn(2, 70, 3).astype(np.float32)
+    x2 = rng.randn(2, 50, 3).astype(np.float32)
+    x2[:, 5] = x2[:, 17]  # argmin ties
+    x1[:, 9] = x1[:, 40]
+    w = rng.rand(2).astype(np.float32)
+
+    def composed(a, b):
+        d1, _, d2, _ = nn_distance(a, b, method="direct")
+        return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        loss_f = np.asarray(_chamfer_per_pc_fused(x1, x2))
+        g1f, g2f = jax.grad(
+            lambda a, b: jnp.sum(_chamfer_per_pc_fused(a, b) * w),
+            argnums=(0, 1),
+        )(x1, x2)
+    loss_c = np.asarray(composed(x1, x2))
+    g1c, g2c = jax.grad(
+        lambda a, b: jnp.sum(composed(a, b) * w), argnums=(0, 1)
+    )(x1, x2)
+
+    np.testing.assert_array_equal(loss_f, loss_c)
+    np.testing.assert_allclose(np.asarray(g1f), np.asarray(g1c), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2c), atol=1e-6)
