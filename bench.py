@@ -69,8 +69,13 @@ def _retry(fn, what, delays=(10, 30, 60, 120)):
     return fn()  # final attempt propagates
 
 
-def bench_attack():
-    """Median attack pair-iters/s/chip @1024 pts over fresh-input reps."""
+def bench_attack(ae_dtype="float32"):
+    """Median attack pair-iters/s/chip @1024 pts over fresh-input reps.
+
+    ``ae_dtype="bfloat16"`` runs the victim AE's compute in bf16 (losses and
+    metrics stay f32) — the documented fast configuration; the headline
+    stays the reference-equivalent f32.
+    """
     import jax
 
     from geometric_adv_tpu.attack.core import AttackRunner
@@ -88,6 +93,7 @@ def bench_attack():
         num_iterations=NUM_ITERS,
         num_iterations_thresh=NUM_ITERS // 2,
         saver_step=None,
+        ae_dtype=ae_dtype,
     )
     trainer = AETrainer(conf)
 
@@ -166,6 +172,12 @@ def main():
         )
     except Exception as e:  # secondary metric must not sink the record
         _log(f"bench: chamfer matrix metric failed: {type(e).__name__}: {e}")
+    try:
+        extras["attack_pair_iters_bf16_encoder"] = round(
+            bench_attack(ae_dtype="bfloat16"), 1
+        )
+    except Exception as e:
+        _log(f"bench: bf16 attack metric failed: {type(e).__name__}: {e}")
 
     flops = pair_iters_per_sec * FLOPS_PER_PAIR_ITER
     extras["est_tflops"] = round(flops / 1e12, 2)

@@ -200,8 +200,11 @@ FUSED_LOSS_ENABLED = True
 
 
 def _fused_loss_supported(n: int) -> bool:
-    # the fused kernel needs all n rows resident in one tile
-    return FUSED_LOSS_ENABLED and max(n, 256) <= 2048
+    # The fused kernel needs all n rows resident in one tile AND wide
+    # m-tiles to amortize grid steps: at n=2048 the VMEM budget forces
+    # tile_m=256, measured 2x SLOWER than the composed path (4.5k -> 2.4k
+    # pair-iters/s at [250, 2048^2]); n<=1024 runs tile_m=1024 and wins.
+    return FUSED_LOSS_ENABLED and max(n, 256) <= 1024
 
 
 @jax.custom_vjp

@@ -47,20 +47,27 @@ def _round_up(v: int, mult: int) -> int:
 def _loss_kernel(
     x_ref,  # (1, NT, 3)  x1 tile (single n-tile)
     yt_ref,  # (1, 8, MT)  y^T tile: rows 0-2 coords
-    d1_ref,  # (1, NT, 1)  accumulated across the m sweep
     d2_ref,  # (1, 1, MT)
-    i1_ref,  # (1, NT, 1)
     i2_ref,  # (1, 1, MT)
-    pay_ref,  # (1, NT, 8)  lanes 0-2 nn1, 3-5 snn, 6 cnt
+    pay_ref,  # (1, NT, 8)  lanes 0-2 nn1, 3-5 snn, 6 cnt, and the running
+    #   d1 (lane 7) / idx1 (lane 8, int32 bits in f32) — everything per-row
+    #   shares ONE block because each [NT, small] output pads its lane dim
+    #   to 128 and double-buffers: separate d1/i1 blocks cost 4MB of VMEM
+    #   that pushed the n=2048 config over the 16M scoped limit
     *, tile_n, tile_m, m_valid,
 ):
     mj = pl.program_id(1)
 
     @pl.when(mj == 0)
     def _init():
-        d1_ref[0] = jnp.full((tile_n, 1), _BIG, jnp.float32)
-        i1_ref[0] = jnp.zeros((tile_n, 1), jnp.int32)
-        pay_ref[0] = jnp.zeros((tile_n, 8), jnp.float32)
+        pay_ref[0] = jnp.concatenate(
+            [
+                jnp.zeros((tile_n, 7), jnp.float32),
+                jnp.full((tile_n, 1), _BIG, jnp.float32),  # running d1
+                jnp.zeros((tile_n, 8), jnp.float32),  # idx1 bits + spare
+            ],
+            axis=1,
+        )
 
     xt = x_ref[0]  # [NT, 3]
     y0 = yt_ref[0][0:1, :]  # [1, MT]
@@ -72,37 +79,44 @@ def _loss_kernel(
     dz = xt[:, 2:3] - y2
     d = dx * dx + dy * dy + dz * dz
 
+    # iotas stay rank-broadcastable ([1, MT] / [NT, 1]) — materializing two
+    # full [NT, MT] int32 index planes costs 8MB of scoped VMEM at
+    # n_pad=2048/tile_m=512 (measured OOM) and two full VPU passes
     col_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 1)
-        + mj * tile_m
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile_m), 1) + mj * tile_m
     )
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_m), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
 
     # --- x1 -> x2 direction: running min/argmin + nn payload --------------
     tmin = jnp.min(d, axis=1, keepdims=True)  # [NT, 1]
     targ = jnp.min(
-        jnp.where(d == tmin, col_ids, 2**30), axis=1, keepdims=True
+        jnp.where(d == tmin, col_ids, 2**30),
+        axis=1, keepdims=True,
     )  # first-occurrence argmin (global column index)
-    sel = col_ids == targ  # exactly one column per row
+    sel = col_ids == targ  # [NT, MT]; exactly one column per row
     nn = jnp.stack(
         [
-            jnp.min(jnp.where(sel, jnp.broadcast_to(y, d.shape), _BIG), axis=1)
+            jnp.min(jnp.where(sel, y, _BIG), axis=1)
             for y in (y0, y1, y2)
         ],
         axis=-1,
     )  # [NT, 3]
 
-    cur = d1_ref[0]
-    better = tmin < cur
-    d1_ref[0] = jnp.where(better, tmin, cur)
-    i1_ref[0] = jnp.where(better, targ, i1_ref[0])
     pay = pay_ref[0]
+    cur = pay[:, 7:8]
+    better = tmin < cur
+    new_d1 = jnp.where(better, tmin, cur)
+    cur_i1 = pltpu.bitcast(pay[:, 8:9], jnp.int32)
+    new_i1 = pltpu.bitcast(
+        jnp.where(better, targ, cur_i1), jnp.float32
+    )
     pay_nn = jnp.where(better, nn, pay[:, 0:3])
 
     # --- x2 -> x1 direction: final within this m-tile (single n-tile) ----
     cmin = jnp.min(d, axis=0, keepdims=True)  # [1, MT]
     carg = jnp.min(
-        jnp.where(d == cmin, row_ids, 2**30), axis=0, keepdims=True
+        jnp.where(d == cmin, row_ids, 2**30),
+        axis=0, keepdims=True,
     )
     d2_ref[0] = cmin
     i2_ref[0] = carg
@@ -115,7 +129,7 @@ def _loss_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (1, tile_m), 1) + mj * tile_m
         < m_valid
     ).astype(jnp.float32)  # [1, MT]
-    mask_s = jnp.where(row_ids == carg, jnp.broadcast_to(valid, d.shape), 0.0)
+    mask_s = jnp.where(row_ids == carg, valid, 0.0)
     snn = jnp.stack(
         [
             jnp.sum(mask_s * y, axis=1)
@@ -130,7 +144,9 @@ def _loss_kernel(
             pay_nn,
             pay[:, 3:6] + snn,
             pay[:, 6:7] + cnt,
-            pay[:, 7:8],
+            new_d1,
+            new_i1,
+            pay[:, 9:16],
         ],
         axis=1,
     )
@@ -152,8 +168,10 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
     assert n_pad <= 2048, "single-n-tile kernel; caller must gate"
     m_pad = _round_up(max(m, 256), 256)
     # widest m-tile the VMEM budget allows (measured: tile_m=1024 beats
-    # 512/256 at n=1024 — grid-step overhead dominates smaller tiles)
-    tile_m = 1024 if n_pad <= 1024 else 512
+    # 512/256 at n=1024 — grid-step overhead dominates smaller tiles; at
+    # n_pad=2048 the Mosaic scoped stack holds ~4-5 live [NT, MT] temps,
+    # so only tile_m=256 fits the 16M limit even with packed outputs)
+    tile_m = 1024 if n_pad <= 1024 else 256
     while m_pad % tile_m:
         tile_m //= 2
     if n_pad != n:
@@ -168,7 +186,7 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
         _loss_kernel, tile_n=n_pad, tile_m=tile_m, m_valid=m
     )
     vm = pltpu.VMEM
-    d1, d2, i1, i2, pay = pl.pallas_call(
+    d2, i2, pay = pl.pallas_call(
         kernel,
         grid=(b, m_pad // tile_m),
         in_specs=[
@@ -178,24 +196,28 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
                          memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_pad, 1), lambda i, mj: (i, 0, 0),
+            pl.BlockSpec((1, 1, tile_m), lambda i, mj: (i, 0, mj),
                          memory_space=vm),
             pl.BlockSpec((1, 1, tile_m), lambda i, mj: (i, 0, mj),
                          memory_space=vm),
-            pl.BlockSpec((1, n_pad, 1), lambda i, mj: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, tile_m), lambda i, mj: (i, 0, mj),
-                         memory_space=vm),
-            pl.BlockSpec((1, n_pad, 8), lambda i, mj: (i, 0, 0),
+            pl.BlockSpec((1, n_pad, 16), lambda i, mj: (i, 0, 0),
                          memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 16), jnp.float32),
         ],
+        # NOTE: no dimension_semantics — marking the batch dim "parallel"
+        # lets Mosaic pipeline cells concurrently, which inflates scoped
+        # VMEM, and it measured performance-neutral at n=1024.
+        # The default 16M scoped-VMEM budget is a compiler knob, not the
+        # hardware cap; n_pad=2048 needs ~17M of live [NT, MT] temps.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(
+                None if n_pad <= 1024 else 32 * 1024 * 1024
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=31 * b * n_pad * m_pad,
             bytes_accessed=b * (n_pad * 12 + m_pad) * 16,
@@ -203,9 +225,11 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
         ),
     )(x2, yt)
 
-    d1 = d1[:, :n, 0].reshape(lead + (n,))
+    d1 = pay[:, :n, 7].reshape(lead + (n,))
+    i1 = jax.lax.bitcast_convert_type(pay[:, :n, 8], jnp.int32).reshape(
+        lead + (n,)
+    )
     d2 = d2[:, 0, :m].reshape(lead + (m,))
-    i1 = i1[:, :n, 0].reshape(lead + (n,))
     i2 = i2[:, 0, :m].reshape(lead + (m,))
     nn1 = pay[:, :n, 0:3].reshape(lead + (n, 3))
     snn1 = pay[:, :n, 3:6].reshape(lead + (n, 3))
