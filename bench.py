@@ -144,16 +144,23 @@ def bench_attack(ae_dtype="float32"):
 
 
 def bench_chamfer_matrix():
-    """Chamfer pair-evals/s @2048 pts via the all-pairs matrix job."""
+    """Chamfer pair-evals/s/chip @2048 pts via the all-pairs matrix job."""
+    import jax
+
     from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+    from geometric_adv_tpu.parallel import get_mesh
+
+    n_dev = len(jax.devices())
+    mesh = get_mesh() if n_dev > 1 else None
 
     def run(seed):
         rng = np.random.RandomState(seed)
         pcs = rng.rand(MATRIX_CLOUDS, MATRIX_POINTS, 3).astype(np.float32)
         n_pairs = MATRIX_CLOUDS * (MATRIX_CLOUDS + 1) // 2
         t0 = time.time()
-        chamfer_distance_matrix(pcs)
-        return n_pairs / (time.time() - t0)
+        chamfer_distance_matrix(pcs, mesh=mesh)
+        # per-chip, like the headline metric
+        return n_pairs / (time.time() - t0) / max(n_dev, 1)
 
     _retry(lambda: run(100), "chamfer matrix warmup")  # compile
     rates = [run(100 + rep + 1) for rep in range(TIMED_REPS)]

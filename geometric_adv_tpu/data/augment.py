@@ -130,8 +130,9 @@ def device_augment(
 
     k_noise, k_rot = jax.random.split(key)
     if gauss_sigma is not None:
+        mu = 0.0 if gauss_mu is None else gauss_mu
         batch = batch + (
-            gauss_mu
+            mu
             + gauss_sigma * jax.random.normal(k_noise, batch.shape, batch.dtype)
         )
     if z_rotate:

@@ -209,13 +209,16 @@ def _fused_loss_supported(n: int) -> bool:
 
 @jax.custom_vjp
 def _chamfer_per_pc_fused(x1: Array, x2: Array) -> Array:
-    """mean(d1) + mean(d2) per cloud, one fused TPU pass (loss + grad
-    payloads; see ops/pallas/chamfer_loss_kernel.py)."""
-    from geometric_adv_tpu.ops.pallas.chamfer_loss_kernel import (
-        chamfer_loss_payloads,
+    """mean(d1) + mean(d2) per cloud; under differentiation the fwd rule
+    runs the fused loss+grad-payload kernel
+    (ops/pallas/chamfer_loss_kernel.py). This primal runs only for
+    NON-differentiated calls (eval/metrics paths), where the min-only kernel
+    does the same job in ~1/3 the VPU passes."""
+    from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
+        nn_distance_values_pallas,
     )
 
-    d1, _, d2, _, _, _, _ = chamfer_loss_payloads(x1, x2)
+    d1, d2 = nn_distance_values_pallas(x1, x2)
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 
 

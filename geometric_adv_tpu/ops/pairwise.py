@@ -115,17 +115,21 @@ def chamfer_distance_matrix(
         pcs_dev = jax.device_put(pcs_dev, replicated(mesh))
 
     chunk_pairs = pair_block * blocks_per_chunk
+    # ONE chunk shape per job: a shape-changing tail chunk would recompile
+    # the scanned program (a multi-second stall through a remote relay). A
+    # job smaller than one chunk shrinks the chunk to its own size; larger
+    # jobs pad the tail to the full chunk with (0, 0) self-pairs (harmless:
+    # they compute chamfer(pcs[0], pcs[0]) = 0 and are sliced off, and the
+    # waste is bounded by one chunk of a multi-chunk job).
+    nb = min(blocks_per_chunk, -(-n_pairs // pair_block))
+    chunk_pairs = pair_block * nb
     for s in range(0, n_pairs, chunk_pairs):
         e = min(s + chunk_pairs, n_pairs)
         k = e - s
-        # pad the tail chunk with (0, 0) self-pairs (harmless: they compute
-        # chamfer(pcs[0], pcs[0]) = 0 and are sliced off)
-        k_pad = -(-k // pair_block) * pair_block
-        ii = np.zeros(k_pad, np.int32)
-        jj = np.zeros(k_pad, np.int32)
+        ii = np.zeros(chunk_pairs, np.int32)
+        jj = np.zeros(chunk_pairs, np.int32)
         ii[:k] = iu[s:e]
         jj[:k] = ju[s:e]
-        nb = k_pad // pair_block
         ii = ii.reshape(nb, pair_block)
         jj = jj.reshape(nb, pair_block)
         if mesh is not None:

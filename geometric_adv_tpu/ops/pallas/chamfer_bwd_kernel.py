@@ -14,17 +14,17 @@ identities remove the data-dependent addressing entirely:
 
 Two kernel generations implement those contractions:
 
-- v1 (``chamfer_grad1_pallas_mxu``): two [8, MT] @ [MT, NT] matmuls per tile
-  against one-hot masks. Lesson (mirrors the forward's v1): the matmuls have
-  8 useful rows of 128 — ~6% MXU occupancy — and need ``Precision.HIGHEST``
-  (multi-pass bf16) for exact f32 values, so the systolic array runs at a
-  few percent of peak.
-- v2 (``chamfer_grad1_pallas``, the default): the one-hot contraction IS a
-  masked lane-reduction — ``sum over j of where(mask, val_j, 0)`` — which
-  the VPU executes at full f32 rate, ~19 ops/element, exact (no bf16
-  rounding of the coordinate values). One kernel accumulates all seven
-  reduction rows (3 gathered coords, 3 scattered products, 1 count) across
-  the m sweep; the final grad assembly is cheap XLA elementwise on [n, 3].
+- ``chamfer_grad1_pallas`` (the default): two [8, MT] @ [MT, NT] matmuls
+  per tile against one-hot masks, ``Precision.HIGHEST`` for exact f32.
+  Only ~6% MXU row occupancy, but measured consistently ~12% faster than
+  the VPU variant at [256, 1024^2] (3.6 vs 4.1 and 4.2 vs 4.7 ms/call in
+  two interleaved A/Bs).
+- ``chamfer_grad1_pallas_vpu``: the one-hot contraction as a masked
+  lane-reduction — ``sum over j of where(mask, val_j, 0)`` — exact f32 with
+  no matmul passes. Kept for A/B and as the pattern reference; both
+  formulations are VMEM-traffic-bound, which is why neither wins big (the
+  fused loss kernel in chamfer_loss_kernel.py removes this pass entirely
+  for the per-pc loss path).
 """
 
 from __future__ import annotations
@@ -37,15 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(size_padded: int) -> int:
-    for t in (1024, 512, 256):
-        if size_padded % t == 0:
-            return t
-    return 256
-
-
-def _round_up(v: int, mult: int) -> int:
-    return -(-v // mult) * mult
+from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
+    _pick_tile,
+    _round_up,
+)
 
 
 def _bwd_kernel(
@@ -145,8 +140,8 @@ def _bwd_vpu_kernel(
 
 
 @jax.jit
-def chamfer_grad1_pallas(xyz1, xyz2, idx1, idx2, g1, g2):
-    """grad of (sum g1*d1 + sum g2*d2) wrt xyz1 — v2 VPU masked-reduction path.
+def chamfer_grad1_pallas_vpu(xyz1, xyz2, idx1, idx2, g1, g2):
+    """grad of (sum g1*d1 + sum g2*d2) wrt xyz1 — VPU masked-reduction path.
 
     Shapes: xyz1 [..., n, 3], xyz2 [..., m, 3], idx1 [..., n], idx2 [..., m],
     g1 [..., n], g2 [..., m] -> [..., n, 3]. Exact f32 (products are
@@ -231,8 +226,8 @@ def chamfer_grad1_pallas(xyz1, xyz2, idx1, idx2, g1, g2):
 
 
 @jax.jit
-def chamfer_grad1_pallas_mxu(xyz1, xyz2, idx1, idx2, g1, g2):
-    """v1 one-hot-matmul backward (kept for A/B benchmarking).
+def chamfer_grad1_pallas(xyz1, xyz2, idx1, idx2, g1, g2):
+    """One-hot-matmul backward (the default; see module docstring).
 
     Shapes: xyz1 [..., n, 3], xyz2 [..., m, 3], idx1 [..., n], idx2 [..., m],
     g1 [..., n], g2 [..., m] -> [..., n, 3].

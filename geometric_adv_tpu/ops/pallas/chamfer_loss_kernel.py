@@ -36,12 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 3.0e38
-_PAD_COORD = 1.0e9
-
-
-def _round_up(v: int, mult: int) -> int:
-    return -(-v // mult) * mult
+from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
+    _BIG,
+    _PAD_COORD,
+    _round_up,
+)
 
 
 def _loss_kernel(

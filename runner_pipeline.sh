@@ -16,8 +16,8 @@ if [ "$MODE" = "quick" ]; then
   DATA=data/synthetic_512
   CLASS_ARGS="--class_names sphere cube torus cone"
 else
-  N_POINTS=2048; N_PER_CLASS=40; EPOCHS=500; CLS_EPOCHS=150; TR_EPOCHS=150
-  NUM_ATTACK=25; NUM_TARGET=5; ITERS=500; THRESH=400; SEL=100
+  N_POINTS=2048; N_PER_CLASS=250; EPOCHS=500; CLS_EPOCHS=100; TR_EPOCHS=100
+  NUM_ATTACK=25; NUM_TARGET=5; ITERS=500; THRESH=400; SEL=25
   DATA=data/synthetic_2048
   CLASS_ARGS=""
 fi
@@ -49,6 +49,18 @@ $PY geometric_adv_tpu.cli.get_dists_per_point --ae_folder $AE \
   --attack_pc_idx $SEL_IDX
 $PY geometric_adv_tpu.cli.evaluate_attack --ae_folder $AE \
   --attack_pc_idx $SEL_IDX
+
+# 3b. latent-space attack variant (runner_attacker.sh second leg:
+#     loss_adv latent, dist_weight 150.0)
+$PY geometric_adv_tpu.cli.run_attack --ae_folder $AE --attack_pc_idx $SEL_IDX \
+  --num_pc_for_attack $NUM_ATTACK --num_pc_for_target $NUM_TARGET \
+  --num_iterations $ITERS --num_iterations_thresh $THRESH \
+  --loss_adv_type latent --dist_weight_list 150.0 \
+  --output_folder_name latent_space_attack
+$PY geometric_adv_tpu.cli.get_dists_per_point --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --attack_folder latent_space_attack
+$PY geometric_adv_tpu.cli.evaluate_attack --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX --output_folder_name latent_space_attack
 
 # 4. defenses (runner_defender.sh)
 $PY geometric_adv_tpu.cli.run_defense_critical --ae_folder $AE \
@@ -82,5 +94,17 @@ $PY geometric_adv_tpu.cli.run_transfer --transfer_ae_type AtlasNet \
   --attack_pc_idx $SEL_IDX
 $PY geometric_adv_tpu.cli.evaluate_transfer --transfer_ae_type AtlasNet \
   --ae_folder $AE --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.train_transfer --ae_type foldingnet \
+  --ae_folder $AE --data_folder $DATA --epochs $TR_EPOCHS --bn_momentum 0.7
+$PY geometric_adv_tpu.cli.run_transfer --transfer_ae_type FoldingNet \
+  --transfer_ae_folder log/foldingnet_for_transfer --ae_folder $AE \
+  --attack_pc_idx $SEL_IDX
+$PY geometric_adv_tpu.cli.evaluate_transfer --transfer_ae_type FoldingNet \
+  --ae_folder $AE --attack_pc_idx $SEL_IDX
+# identity-transfer sanity: the victim as its own transfer AE must replay
+# the attack's reconstructions (reference: transfer/run_transfer.py:181-204)
+$PY geometric_adv_tpu.cli.run_transfer --transfer_ae_type PointNet \
+  --transfer_ae_folder $AE --ae_folder $AE --attack_pc_idx $SEL_IDX \
+  --do_sanity_checks 1
 
 echo "PIPELINE COMPLETE"

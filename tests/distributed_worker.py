@@ -76,10 +76,12 @@ def main():
 
     # A second step from the updated (now device-resident, replicated)
     # state proves the state pytree round-trips through the sharded program.
+    # (No loss2 < loss assert: one Adam step on a tiny random batch is not
+    # guaranteed to descend; the robust invariant is cross-process loss
+    # agreement, which the parent test checks.)
     _, loss2, _ = trainer._jit_train_step(new_state, global_x, global_x)
     loss2 = float(loss2)
     assert np.isfinite(loss) and np.isfinite(loss2)
-    assert loss2 < loss  # the shared step made progress on this batch
 
     print(f"DISTRIBUTED_OK proc={proc_id} loss={loss:.10f} loss2={loss2:.10f}")
 
