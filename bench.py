@@ -143,6 +143,41 @@ def bench_attack(ae_dtype="float32"):
     return float(np.median(rates))
 
 
+def probe_chip_state():
+    """Fixed-workload calibration: bf16 matmul TFLOP/s on this chip NOW.
+
+    The tunneled chip's absolute throughput drifts ~50% across sessions
+    (identical programs measured 19.6k vs 13.5k pair-iters/s hours apart);
+    this probe lets a reader normalize the headline number against the
+    chip/relay state it was captured in.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    reps = 8
+
+    @jax.jit
+    def chain(a, b):
+        def body(c, _):
+            return jnp.dot(c, b, preferred_element_type=jnp.bfloat16), None
+        out, _ = jax.lax.scan(body, a, None, length=reps)
+        return out
+
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(n, n), jnp.bfloat16)
+    b = jnp.asarray(rng.rand(n, n) * 1e-3, jnp.bfloat16)
+    float(jnp.sum(chain(a, b).astype(np.float32)))  # compile + warmup
+    ts = []
+    for r in range(3):
+        a2 = a + jnp.bfloat16(1e-3 * (r + 1))
+        t0 = time.time()
+        float(jnp.sum(chain(a2, b).astype(np.float32)))
+        ts.append(time.time() - t0)
+    flops = 2 * n * n * n * reps / float(np.median(ts))
+    return flops / 1e12
+
+
 def bench_chamfer_matrix():
     """Chamfer pair-evals/s/chip @2048 pts via the all-pairs matrix job."""
     import jax
@@ -185,6 +220,11 @@ def main():
         )
     except Exception as e:
         _log(f"bench: bf16 attack metric failed: {type(e).__name__}: {e}")
+
+    try:
+        extras["chip_probe_matmul_tflops"] = round(probe_chip_state(), 1)
+    except Exception as e:
+        _log(f"bench: chip probe failed: {type(e).__name__}: {e}")
 
     flops = pair_iters_per_sec * FLOPS_PER_PAIR_ITER
     extras["est_tflops"] = round(flops / 1e12, 2)

@@ -272,6 +272,11 @@ def test_chamfer_distance_matrix(rng):
     np.testing.assert_allclose(mat, mat.T, atol=0)
     np.testing.assert_allclose(np.diag(mat), 0.0, atol=1e-7)
 
+    # multi-chunk path: 45 pairs over 8-pair blocks, 2 blocks per chunk ->
+    # 3 chunks with a padded tail; must equal the single-chunk result
+    mat2 = chamfer_distance_matrix(pcs, pair_block=8, blocks_per_chunk=2)
+    np.testing.assert_allclose(mat2, mat, atol=0)
+
 
 def test_chamfer_distance_matrix_sharded(rng):
     pcs = rng.rand(10, 16, 3).astype(np.float32)

@@ -1,0 +1,51 @@
+"""bench.py must always produce its one-JSON-line record.
+
+The driver runs ``python bench.py`` once per round as the official perf
+record (round 1's record was lost to a crash) — this smoke test runs the
+same code path at tiny scale on CPU so an import/API regression fails the
+suite instead of the round.
+"""
+
+import json
+
+import numpy as np
+
+import bench
+
+
+def test_bench_attack_and_extras_tiny(monkeypatch):
+    monkeypatch.setattr(bench, "N_POINTS", 32)
+    monkeypatch.setattr(bench, "BATCH_PAIRS", 4)
+    monkeypatch.setattr(bench, "NUM_ITERS", 3)
+    monkeypatch.setattr(bench, "TIMED_REPS", 1)
+    monkeypatch.setattr(bench, "MATRIX_CLOUDS", 6)
+    monkeypatch.setattr(bench, "MATRIX_POINTS", 16)
+    # no sleeping through retry backoff if something fails — fail fast
+    monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
+
+    rate = bench.bench_attack()
+    assert np.isfinite(rate) and rate > 0
+
+    rate_bf16 = bench.bench_attack(ae_dtype="bfloat16")
+    assert np.isfinite(rate_bf16) and rate_bf16 > 0
+
+    evals = bench.bench_chamfer_matrix()
+    assert np.isfinite(evals) and evals > 0
+
+
+def test_bench_main_prints_one_json_line(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "N_POINTS", 32)
+    monkeypatch.setattr(bench, "BATCH_PAIRS", 4)
+    monkeypatch.setattr(bench, "NUM_ITERS", 3)
+    monkeypatch.setattr(bench, "TIMED_REPS", 1)
+    monkeypatch.setattr(bench, "MATRIX_CLOUDS", 6)
+    monkeypatch.setattr(bench, "MATRIX_POINTS", 16)
+    monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
+    monkeypatch.setattr(bench, "probe_chip_state", lambda: 1.0)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    rec = json.loads(out[0])
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline", "extras"}
+    assert rec["value"] > 0
