@@ -61,10 +61,15 @@ def select_top_k(k: int, dist: Array) -> tuple[Array, Array]:
     in unspecified order, like the reference's partial selection sort.
     reference: external/grouping/tf_grouping.py:22-32, tf_grouping_g.cu:80-122.
     """
-    n = dist.shape[-1]
+    # Deliberately a full stable argsort, not a partial selection: the
+    # reference returns FULL [b, m, n] outputs (a permutation), so a
+    # lax.top_k first-k would still need an O(n log n) permutation
+    # completion for the remaining slots — same cost, more code. The hot
+    # kNN path is ``knn_point`` (true O(n log k) top_k); this op's only
+    # role is API parity.
+    del k  # the first k slots of the sorted row match the contract
     order = jnp.argsort(dist, axis=-1, stable=True).astype(jnp.int32)
     dist_sorted = jnp.take_along_axis(dist, order, axis=-1)
-    del n, k  # full sort: the first k slots match the reference contract
     return order, dist_sorted
 
 

@@ -75,3 +75,24 @@ def test_host_local_batch_to_global(rng):
     arr = host_local_batch_to_global(local, mesh)
     assert arr.shape == (8, 4, 3)  # single process: global == local
     np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_plot_helpers_write_files(tmp_path, rng):
+    """Smoke: the three report-plot helpers produce image files headlessly
+    (reference: src/general_utils.py:168-223, evaluate_attack.py:232-327)."""
+    from geometric_adv_tpu.utils import plots
+
+    pc = rng.rand(64, 3).astype("float32") - 0.5
+    p1 = str(tmp_path / "cloud.png")
+    plots.plot_3d_point_cloud(pc, save_path=p1)
+    p2 = str(tmp_path / "triplet.png")
+    plots.plot_attack_triplet(pc, pc + 0.01, pc * 0.9, p2)
+    p3 = str(tmp_path / "heat.png")
+    plots.plot_heatmap_graph(
+        rng.rand(3, 3), ["a", "b", "c"], ["d", "e", "f"], "sphere",
+        "target", "source", ".2f", p3,
+    )
+    import os
+
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000, p
