@@ -12,12 +12,12 @@ PY="python -m"
 
 if [ "$MODE" = "quick" ]; then
   N_POINTS=512; N_PER_CLASS=30; EPOCHS=40; CLS_EPOCHS=30; TR_EPOCHS=40
-  NUM_ATTACK=4; NUM_TARGET=2; ITERS=250; THRESH=200; SEL=10
+  NUM_ATTACK=4; NUM_TARGET=2; ITERS=250; THRESH=200; SEL=10; ABATCH=0
   DATA=data/synthetic_512
   CLASS_ARGS="--class_names sphere cube torus cone"
 else
   N_POINTS=2048; N_PER_CLASS=250; EPOCHS=500; CLS_EPOCHS=100; TR_EPOCHS=100
-  NUM_ATTACK=25; NUM_TARGET=5; ITERS=500; THRESH=400; SEL=25
+  NUM_ATTACK=25; NUM_TARGET=5; ITERS=500; THRESH=400; SEL=25; ABATCH=500
   DATA=data/synthetic_2048
   CLASS_ARGS=""
 fi
@@ -41,10 +41,12 @@ $PY geometric_adv_tpu.cli.prepare_indices_for_attack --ae_folder $AE \
   --get_rand_idx 1 --get_latent_nn_idx 1 --get_chamfer_nn_idx 1 \
   --num_instance_per_class $SEL
 
-# 3. attack + analysis (runner_attacker.sh)
+# 3. attack + analysis (runner_attacker.sh). Attack batch 500 pairs per
+# dispatch at full scale: the whole 1500-pair class grid at 2048 pts
+# crashed the TPU worker (activation working set), 500 is the proven size.
 $PY geometric_adv_tpu.cli.run_attack --ae_folder $AE --attack_pc_idx $SEL_IDX \
   --num_pc_for_attack $NUM_ATTACK --num_pc_for_target $NUM_TARGET \
-  --num_iterations $ITERS --num_iterations_thresh $THRESH
+  --num_iterations $ITERS --num_iterations_thresh $THRESH --batch_size $ABATCH
 $PY geometric_adv_tpu.cli.get_dists_per_point --ae_folder $AE \
   --attack_pc_idx $SEL_IDX
 $PY geometric_adv_tpu.cli.evaluate_attack --ae_folder $AE \
@@ -55,6 +57,7 @@ $PY geometric_adv_tpu.cli.evaluate_attack --ae_folder $AE \
 $PY geometric_adv_tpu.cli.run_attack --ae_folder $AE --attack_pc_idx $SEL_IDX \
   --num_pc_for_attack $NUM_ATTACK --num_pc_for_target $NUM_TARGET \
   --num_iterations $ITERS --num_iterations_thresh $THRESH \
+  --batch_size $ABATCH \
   --loss_adv_type latent --dist_weight_list 150.0 \
   --output_folder_name latent_space_attack
 $PY geometric_adv_tpu.cli.get_dists_per_point --ae_folder $AE \
