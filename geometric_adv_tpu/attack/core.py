@@ -344,11 +344,19 @@ class AttackRunner:
     ):
         """Attack a grid of pairs; returns (metrics [W,N,5], adv [W,N,n,3],
         recon [W,N,m,3]) — the reference's artifact layout
-        (reference: src/adv_ae.py:155-189)."""
+        (reference: src/adv_ae.py:155-189).
+
+        ``batch_size=None`` auto-sizes the per-dispatch pair batch so the
+        scanned fwd+bwd working set stays within the proven envelope
+        (1500 pairs x 2048 points crashed a v5e worker; 500 x 2048 and
+        256 x 1024 are production-proven)."""
         import time
 
         n_examples = len(source_pc)
-        batch_size = batch_size or n_examples
+        if not batch_size:
+            max_point_rows = 1_100_000  # ~500 pairs at 2048 pts
+            n_pts = source_pc.shape[-2]
+            batch_size = max(1, min(n_examples, max_point_rows // n_pts))
         dist_weights = np.asarray(self.conf.dist_weight_list, np.float32)
 
         shard_of = 1 if self.mesh is None else self.mesh.devices.size
