@@ -221,14 +221,17 @@ def main():
     except Exception as e:
         _log(f"bench: bf16 attack metric failed: {type(e).__name__}: {e}")
 
-    try:
-        extras["chip_probe_matmul_tflops"] = round(probe_chip_state(), 1)
-    except Exception as e:
-        _log(f"bench: chip probe failed: {type(e).__name__}: {e}")
-
     flops = pair_iters_per_sec * FLOPS_PER_PAIR_ITER
     extras["est_tflops"] = round(flops / 1e12, 2)
     extras["est_mfu_vs_v5e_bf16_peak"] = round(flops / PEAK_FLOPS, 4)
+    try:
+        probe = probe_chip_state()
+        extras["chip_probe_matmul_tflops"] = round(probe, 1)
+        # utilization vs what the chip DELIVERS right now (the probe has
+        # measured as low as 14% of the 197 TF paper peak through the relay)
+        extras["est_mfu_vs_chip_probe"] = round(flops / (probe * 1e12), 4)
+    except Exception as e:
+        _log(f"bench: chip probe failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
