@@ -151,9 +151,18 @@ class AETrainer:
         self.state, loss, recon = self._jit_train_step(self.state, x, gt)
         return np.asarray(recon), float(loss)
 
-    def _batched_forward(self, pclouds, gt=None, batch_size=50,
+    def _batched_forward(self, pclouds, gt=None, batch_size=250,
                          outputs=("recon", "z", "pre", "loss")):
         """Chunked inference over an arbitrary number of clouds.
+
+        Inference batch 250 (not the reference's training batch 50): each
+        chunk is one device dispatch, so the defense stages run ~5x fewer
+        relay round trips (measured: critical defense 30+ min -> 7 min at
+        reference scale). Results across batch sizes are bit-identical on
+        CPU / at --matmul_precision float32; at the TPU default bf16 matmul
+        precision they sit within the documented cross-program drift
+        (DESIGN §6; measured 6e-5 max on defense metrics). Memory:
+        forward-only at [250, 2048] is ~0.5 GB of activations.
 
         Only the requested ``outputs`` are materialised to host — the rest
         stay device-resident and are dropped (the pre-symmetry map is
@@ -184,17 +193,17 @@ class AETrainer:
         loss = float(out["loss"].mean()) if compute_loss else None
         return out["recon"], loss
 
-    def get_reconstructions(self, pclouds, batch_size=50):
+    def get_reconstructions(self, pclouds, batch_size=250):
         return self._batched_forward(
             pclouds, batch_size=batch_size, outputs=("recon",)
         )["recon"]
 
-    def get_latent_vectors(self, pclouds, batch_size=50):
+    def get_latent_vectors(self, pclouds, batch_size=250):
         return self._batched_forward(
             pclouds, batch_size=batch_size, outputs=("z",)
         )["z"]
 
-    def get_pre_symmetry_data(self, pclouds, batch_size=50):
+    def get_pre_symmetry_data(self, pclouds, batch_size=250):
         return self._batched_forward(
             pclouds, batch_size=batch_size, outputs=("pre",)
         )["pre"]
@@ -225,7 +234,7 @@ class AETrainer:
             vals.append(np.asarray(v))
         return np.concatenate(idxs), np.concatenate(vals)
 
-    def get_loss_per_pc(self, feed_data, orig_data=None, batch_size=50):
+    def get_loss_per_pc(self, feed_data, orig_data=None, batch_size=250):
         return self._batched_forward(
             feed_data, orig_data, batch_size=batch_size, outputs=("loss",)
         )["loss"]
