@@ -238,8 +238,11 @@ class ClassifierTrainer:
         return stats
 
     def classify(self, point_clouds, batch_size=None) -> np.ndarray:
-        """Predicted labels (reference: pointnet_classifier.py:54-73)."""
-        batch_size = batch_size or self.batch_size
+        """Predicted labels (reference: pointnet_classifier.py:54-73).
+
+        Inference batch 250 by default (the reference wrapper's 10 costs a
+        device dispatch per 10 clouds); argmax labels are per-example."""
+        batch_size = batch_size or 250
         shard_of = 1 if self.mesh is None else self.mesh.devices.size
         preds = []
         pcs = np.asarray(point_clouds, np.float32)

@@ -127,7 +127,10 @@ class _TransferTrainerBase:
                 log_file.write(msg + "\n")
         return self
 
-    def get_reconstructions(self, pclouds, batch_size=10):
+    def get_reconstructions(self, pclouds, batch_size=100):
+        # inference batch 100 vs the reference wrappers' 10/4
+        # (atlasnet_ae.py:67, foldingnet_ae.py:39): each chunk is one
+        # device dispatch; per-example results are independent
         outs = []
         pcs = np.asarray(pclouds, np.float32)
         for s in range(0, len(pcs), batch_size):
