@@ -11,7 +11,7 @@ MODE=${1:-quick}
 PY="python -m"
 
 if [ "$MODE" = "quick" ]; then
-  N_POINTS=512; N_PER_CLASS=30; EPOCHS=40; CLS_EPOCHS=30; TR_EPOCHS=40
+  N_POINTS=512; N_PER_CLASS=30; EPOCHS=40; CLS_EPOCHS=15; TR_EPOCHS=10
   NUM_ATTACK=4; NUM_TARGET=2; ITERS=250; THRESH=200; SEL=10; ABATCH=0
   DATA=data/synthetic_512
   CLASS_ARGS="--class_names sphere cube torus cone"
