@@ -200,10 +200,12 @@ FUSED_LOSS_ENABLED = True
 
 
 def _fused_loss_supported(n: int) -> bool:
-    # The fused kernel needs all n rows resident in one tile AND wide
-    # m-tiles to amortize grid steps: at n=2048 the VMEM budget forces
-    # tile_m=256, measured 2x SLOWER than the composed path (4.5k -> 2.4k
-    # pair-iters/s at [250, 2048^2]); n<=1024 runs tile_m=1024 and wins.
+    # Auto-routing uses the fused kernel only for n <= 1024, where it wins
+    # (+4-5%, tile_m=1024). A 2-subtile variant exists for n <= 2048
+    # (chamfer_loss_kernel._loss_kernel_2n, exact incl. cross-subtile ties)
+    # but measured 35% SLOWER than the composed path at [250, 2048^2]
+    # (3.9k vs 5.7k pair-iters/s) — callers wanting it can use
+    # _chamfer_per_pc_fused directly.
     return FUSED_LOSS_ENABLED and max(n, 256) <= 1024
 
 

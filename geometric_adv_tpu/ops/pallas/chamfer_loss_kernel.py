@@ -151,6 +151,113 @@ def _loss_kernel(
     )
 
 
+def _loss_kernel_2n(
+    x_ref,  # (1, 2048, 3)  full x1 (both n-subtiles)
+    yt_ref,  # (1, 8, MT)
+    d2_ref,  # (1, 1, MT)
+    i2_ref,  # (1, 1, MT)
+    pay_ref,  # (1, 2048, 16)  same lane layout as _loss_kernel
+    *, tile_m, m_valid,
+):
+    """n_pad=2048 variant: two 1024-row subtiles processed inside one grid
+    cell. The column argmin must be FINAL before the scatter sums — with n
+    split across subtiles that means both distance tiles live together
+    (2 x [1024, MT] VMEM), while the per-row state stays one small
+    [2048, 16] block. Cross-subtile first-occurrence ties are exact because
+    subtile-0 row indices all precede subtile-1's, so min(c0, c1) is the
+    global first occurrence."""
+    HN = 1024
+    mj = pl.program_id(1)
+
+    @pl.when(mj == 0)
+    def _init():
+        pay_ref[0] = jnp.concatenate(
+            [
+                jnp.zeros((2 * HN, 7), jnp.float32),
+                jnp.full((2 * HN, 1), _BIG, jnp.float32),
+                jnp.zeros((2 * HN, 8), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    y0 = yt_ref[0][0:1, :]
+    y1 = yt_ref[0][1:2, :]
+    y2 = yt_ref[0][2:3, :]
+    col_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile_m), 1) + mj * tile_m
+    )
+    valid = (col_ids < m_valid).astype(jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (HN, 1), 0)
+
+    ds = []
+    for ni in range(2):
+        xt = x_ref[0][ni * HN : (ni + 1) * HN, :]
+        dx = xt[:, 0:1] - y0
+        dy = xt[:, 1:2] - y1
+        dz = xt[:, 2:3] - y2
+        ds.append(dx * dx + dy * dy + dz * dz)
+
+    # --- x2 -> x1 direction across BOTH subtiles -------------------------
+    cmin = jnp.minimum(
+        jnp.min(ds[0], axis=0, keepdims=True),
+        jnp.min(ds[1], axis=0, keepdims=True),
+    )
+    c0 = jnp.min(
+        jnp.where(ds[0] == cmin, row_ids, 2**30), axis=0, keepdims=True
+    )
+    c1 = jnp.min(
+        jnp.where(ds[1] == cmin, row_ids + HN, 2**30), axis=0, keepdims=True
+    )
+    carg = jnp.minimum(c0, c1)
+    d2_ref[0] = cmin
+    i2_ref[0] = carg
+
+    # --- per-subtile row direction + scatter accumulation ----------------
+    pay = pay_ref[0]
+    new_rows = []
+    for ni in range(2):
+        d = ds[ni]
+        sub = pay[ni * HN : (ni + 1) * HN, :]
+        tmin = jnp.min(d, axis=1, keepdims=True)
+        targ = jnp.min(
+            jnp.where(d == tmin, col_ids, 2**30), axis=1, keepdims=True
+        )
+        sel = col_ids == targ
+        nn = jnp.stack(
+            [
+                jnp.min(jnp.where(sel, yy, _BIG), axis=1)
+                for yy in (y0, y1, y2)
+            ],
+            axis=-1,
+        )
+        cur = sub[:, 7:8]
+        better = tmin < cur
+        new_d1 = jnp.where(better, tmin, cur)
+        cur_i1 = pltpu.bitcast(sub[:, 8:9], jnp.int32)
+        new_i1 = pltpu.bitcast(jnp.where(better, targ, cur_i1), jnp.float32)
+        pay_nn = jnp.where(better, nn, sub[:, 0:3])
+
+        mask_s = jnp.where(row_ids + ni * HN == carg, valid, 0.0)
+        snn = jnp.stack(
+            [jnp.sum(mask_s * yy, axis=1) for yy in (y0, y1, y2)], axis=-1
+        )
+        cnt = jnp.sum(mask_s, axis=1, keepdims=True)
+        new_rows.append(
+            jnp.concatenate(
+                [
+                    pay_nn,
+                    sub[:, 3:6] + snn,
+                    sub[:, 6:7] + cnt,
+                    new_d1,
+                    new_i1,
+                    sub[:, 9:16],
+                ],
+                axis=1,
+            )
+        )
+    pay_ref[0] = jnp.concatenate(new_rows, axis=0)
+
+
 def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
     """One fused pass: (d1, i1, d2, i2, nn1, snn1, cnt1) for [b, n<=1024, 3].
 
@@ -164,13 +271,14 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
     b = x2.shape[0]
 
     n_pad = _round_up(max(n, 256), 256)
-    assert n_pad <= 2048, "single-n-tile kernel; caller must gate"
+    assert n_pad <= 2048, "caller must gate"
+    if n_pad > 1024:
+        n_pad = 2048  # the 2-subtile kernel is fixed at 2 x 1024 rows
     m_pad = _round_up(max(m, 256), 256)
     # widest m-tile the VMEM budget allows (measured: tile_m=1024 beats
-    # 512/256 at n=1024 — grid-step overhead dominates smaller tiles; at
-    # n_pad=2048 the Mosaic scoped stack holds ~4-5 live [NT, MT] temps,
-    # so only tile_m=256 fits the 16M limit even with packed outputs)
-    tile_m = 1024 if n_pad <= 1024 else 256
+    # 512/256 at n=1024 — grid-step overhead dominates smaller tiles);
+    # n_pad=2048 runs the 2-subtile kernel whose big arrays are [1024, MT]
+    tile_m = 1024 if n_pad <= 1024 else 512
     while m_pad % tile_m:
         tile_m //= 2
     if n_pad != n:
@@ -181,9 +289,14 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
                      constant_values=_PAD_COORD)
     yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
 
-    kernel = functools.partial(
-        _loss_kernel, tile_n=n_pad, tile_m=tile_m, m_valid=m
-    )
+    if n_pad <= 1024:
+        kernel = functools.partial(
+            _loss_kernel, tile_n=n_pad, tile_m=tile_m, m_valid=m
+        )
+    else:
+        kernel = functools.partial(
+            _loss_kernel_2n, tile_m=tile_m, m_valid=m
+        )
     vm = pltpu.VMEM
     d2, i2, pay = pl.pallas_call(
         kernel,

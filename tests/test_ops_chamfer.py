@@ -164,3 +164,38 @@ def test_fused_loss_kernel_interpret_mode(rng):
     np.testing.assert_array_equal(loss_f, loss_c)
     np.testing.assert_allclose(np.asarray(g1f), np.asarray(g1c), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2c), atol=1e-6)
+
+
+def test_fused_loss_kernel_2n_interpret_mode(rng):
+    """The 2-subtile (n_pad=2048) fused kernel variant matches the composed
+    path — exercised with n that pads above 1024, including a nearest
+    neighbor that lives in the SECOND subtile and duplicate-point ties."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geometric_adv_tpu.ops.chamfer import _chamfer_per_pc_fused
+
+    x1 = rng.randn(1, 1100, 3).astype(np.float32)
+    x2 = rng.randn(1, 300, 3).astype(np.float32)
+    x1[0, 1050] = x2[0, 7] + 1e-3  # subtile-1 row wins a column argmin
+    x2[0, 5] = x2[0, 17]  # ties
+    x1[0, 9] = x1[0, 1040]  # cross-subtile duplicate -> cross-tile tie
+    w = rng.rand(1).astype(np.float32)
+
+    def composed(a, b):
+        d1, _, d2, _ = nn_distance(a, b, method="direct")
+        return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        loss_f = np.asarray(_chamfer_per_pc_fused(x1, x2))
+        g1f, g2f = jax.grad(
+            lambda a, b: jnp.sum(_chamfer_per_pc_fused(a, b) * w),
+            argnums=(0, 1),
+        )(x1, x2)
+    loss_c = np.asarray(composed(x1, x2))
+    g1c, g2c = jax.grad(
+        lambda a, b: jnp.sum(composed(a, b) * w), argnums=(0, 1)
+    )(x1, x2)
+
+    np.testing.assert_array_equal(loss_f, loss_c)
+    np.testing.assert_allclose(np.asarray(g1f), np.asarray(g1c), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2c), atol=1e-6)
