@@ -46,8 +46,12 @@ import numpy as np
 from geometric_adv_tpu.models.pointnet_ae import PointNetAE
 from geometric_adv_tpu.ops import chamfer_loss_per_pc, nn_distance
 from geometric_adv_tpu.ops.emd import emd_loss_fused
+from geometric_adv_tpu.parallel.distributed import (
+    gather_global,
+    make_global_replicated,
+    shard_host_batch,
+)
 from geometric_adv_tpu.parallel.mesh import (
-    batch_sharding,
     pad_to_multiple,
     replicated,
 )
@@ -303,7 +307,13 @@ class AttackRunner:
         self.mesh = mesh
         variables = {"params": params, "batch_stats": batch_stats}
         if mesh is not None:
-            variables = jax.device_put(variables, replicated(mesh))
+            if jax.process_count() == 1:
+                variables = jax.device_put(variables, replicated(mesh))
+            else:
+                variables = jax.tree.map(
+                    lambda a: make_global_replicated(jax.device_get(a), mesh),
+                    variables,
+                )
         self._variables = variables
 
         def encode(x):
@@ -354,7 +364,7 @@ class AttackRunner:
 
         n_examples = len(source_pc)
         if not batch_size:
-            max_point_rows = 1_100_000  # ~500 pairs at 2048 pts
+            max_point_rows = 1_024_000  # exactly 500 pairs at 2048 pts
             n_pts = source_pc.shape[-2]
             batch_size = max(1, min(n_examples, max_point_rows // n_pts))
         dist_weights = np.asarray(self.conf.dist_weight_list, np.float32)
@@ -377,14 +387,16 @@ class AttackRunner:
                 np.asarray(target_ae_loss_ref[sl], np.float32), shard_of
             )
             if self.mesh is not None:
-                sh = batch_sharding(self.mesh)
-                xs, zs, ts, rs = (jax.device_put(a, sh) for a in (xs, zs, ts, rs))
+                xs, zs, ts, rs = (
+                    shard_host_batch(a, self.mesh) for a in (xs, zs, ts, rs)
+                )
             out = self._attack_fn(xs, zs, ts, rs, dist_weights)
+            mets, pcin, pcre = gather_global(
+                (out.metrics, out.pc_input, out.pc_recon)
+            )
             outs.append(
                 AttackOutputs(
-                    np.asarray(out.metrics)[:, :n_orig],
-                    np.asarray(out.pc_input)[:, :n_orig],
-                    np.asarray(out.pc_recon)[:, :n_orig],
+                    mets[:, :n_orig], pcin[:, :n_orig], pcre[:, :n_orig]
                 )
             )
             dur = time.time() - t0

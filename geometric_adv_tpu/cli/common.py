@@ -13,8 +13,15 @@ import numpy as np
 
 from geometric_adv_tpu.attack.pipeline import prepare_data_for_attack
 from geometric_adv_tpu.data.datasets import create_dir
+from geometric_adv_tpu.parallel import maybe_initialize_from_env
 from geometric_adv_tpu.train.config import Configuration
 from geometric_adv_tpu.utils.artifacts import load_data
+
+# Multi-host wiring for every pipeline CLI: when the GAT_*/JAX_* cluster env
+# vars are present, the distributed runtime comes up before any stage touches
+# a device, so jax.devices()/get_mesh() are global and any stage runs on a
+# pod without code changes (SURVEY §2.3 TPU plan). No-op otherwise.
+maybe_initialize_from_env()
 
 NN_IDX_DICT = {
     "latent_nn": "latent_nn_idx_test_set",

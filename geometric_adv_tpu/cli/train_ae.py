@@ -91,7 +91,21 @@ def main():
         pc_data_train.shuffle_data(seed=55)
         pc_data_val.shuffle_data(seed=55)
 
-    trainer = AETrainer(conf)
+    # Global mesh for real scale-out: any multi-host launch (cli.common
+    # initialised jax.distributed from env vars, so jax.devices() spans the
+    # pod) or a multi-chip TPU host. Deliberately NOT for multi-device CPU —
+    # the golden-parity contract pins single-process CPU numerics, and a
+    # virtual CPU mesh would reorder reductions.
+    import jax
+
+    from geometric_adv_tpu.parallel import get_mesh
+
+    devices = jax.devices()
+    use_mesh = jax.process_count() > 1 or (
+        len(devices) > 1 and devices[0].platform == "tpu"
+    )
+    mesh = get_mesh() if use_mesh else None
+    trainer = AETrainer(conf, mesh=mesh)
     with open(osp.join(train_dir, "train_stats.txt"), "a", 1) as fout:
         trainer.train(
             pc_data_train, conf, log_file=fout,

@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--nb_primitives", type=int, default=1)
     parser.add_argument("--template_type", type=str, default="SPHERE")
     parser.add_argument("--train_folder", type=str, default=None)
+    parser.add_argument(
+        "--val_step", type=int, default=1,
+        help="epochs between held-out evals; 0 disables",
+    )
     parser.add_argument("--ae_folder", type=str, default="log/autoencoder_victim")
     parser.add_argument("--project_dir", type=str, default=".")
     parser.add_argument("--data_folder", type=str, default="data/synthetic_2048")
@@ -44,6 +48,20 @@ def main():
     )
     pcs = sort_axes(ds.point_clouds) if conf.sort_axes else ds.point_clouds
 
+    # per-epoch validation eval, like both reference transfer trainers
+    # (reference: transfer/foldingnet/train_foldingnet.py:129-171,
+    # transfer/atlasnet/training/trainer.py:83-110)
+    val_pcs = None
+    if flags.val_step > 0:
+        val_ds, _, _ = load_dataset(
+            conf.class_names, "val_set",
+            osp.join(flags.project_dir, flags.data_folder),
+        )
+        val_pcs = (
+            sort_axes(val_ds.point_clouds) if conf.sort_axes
+            else val_ds.point_clouds
+        )
+
     kwargs = dict(
         n_points_input=conf.n_points, bn_momentum=flags.bn_momentum
     )
@@ -60,6 +78,7 @@ def main():
         trainer.train(
             pcs, epochs=flags.epochs, batch_size=flags.batch_size,
             log_file=log, tag=flags.ae_type,
+            held_out=val_pcs, val_step=max(flags.val_step, 1),
         )
     trainer.save(train_dir)
     print("saved checkpoint to", train_dir)

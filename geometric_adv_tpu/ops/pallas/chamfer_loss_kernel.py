@@ -42,6 +42,35 @@ from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
     _round_up,
 )
 
+# The int32 argmin index rides in a float32 payload lane via bitcast. Raw
+# indices 0..2047 bitcast to SUBNORMAL f32 values, which a flush-to-zero
+# select/copy anywhere in the pipeline would silently zero. Biasing by 2^23
+# puts every stored pattern in the normal range (exponent field >= 1) —
+# FTZ/DAZ only touch subnormals — so storage is bit-safe by construction.
+# The bias lives only inside the kernel; unpacking subtracts it.
+_IDX_BIAS = 1 << 23
+
+# Route the per-row payloads (nn coords, scatter sums, counts) through one-hot
+# MXU contractions instead of per-coordinate VPU masked reductions. Exactness:
+# with Precision.HIGHEST the f32 operand is split into 3 bf16 parts whose
+# products with a one-hot 0/1 mask are individually exact and whose f32
+# re-accumulation reconstructs the original value bit-exactly; the scatter
+# sums accumulate ~cnt[i] exact terms per row (different order than the VPU
+# sum, within 1-2 ulp). Replaces 13 [NT, MT]-sized VPU passes with 2 MXU
+# contractions per tile; default OFF until the on-TPU A/B lands.
+PAYLOAD_VIA_MXU = False
+
+
+def _payload_contract(mask, yt8):
+    """[NT, MT] 0/1 mask x [8, MT] coord rows -> [NT, 8] via the MXU."""
+    return jax.lax.dot_general(
+        mask,
+        yt8,
+        ((( 1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
 
 def _loss_kernel(
     x_ref,  # (1, NT, 3)  x1 tile (single n-tile)
@@ -53,7 +82,7 @@ def _loss_kernel(
     #   shares ONE block because each [NT, small] output pads its lane dim
     #   to 128 and double-buffers: separate d1/i1 blocks cost 4MB of VMEM
     #   that pushed the n=2048 config over the 16M scoped limit
-    *, tile_n, tile_m, m_valid,
+    *, tile_n, tile_m, m_valid, use_mxu=False,
 ):
     mj = pl.program_id(1)
 
@@ -93,21 +122,24 @@ def _loss_kernel(
         axis=1, keepdims=True,
     )  # first-occurrence argmin (global column index)
     sel = col_ids == targ  # [NT, MT]; exactly one column per row
-    nn = jnp.stack(
-        [
-            jnp.min(jnp.where(sel, y, _BIG), axis=1)
-            for y in (y0, y1, y2)
-        ],
-        axis=-1,
-    )  # [NT, 3]
+    if use_mxu:
+        nn = _payload_contract(sel.astype(jnp.float32), yt_ref[0])[:, 0:3]
+    else:
+        nn = jnp.stack(
+            [
+                jnp.min(jnp.where(sel, y, _BIG), axis=1)
+                for y in (y0, y1, y2)
+            ],
+            axis=-1,
+        )  # [NT, 3]
 
     pay = pay_ref[0]
     cur = pay[:, 7:8]
     better = tmin < cur
     new_d1 = jnp.where(better, tmin, cur)
-    cur_i1 = pltpu.bitcast(pay[:, 8:9], jnp.int32)
+    cur_i1 = pltpu.bitcast(pay[:, 8:9], jnp.int32)  # biased domain
     new_i1 = pltpu.bitcast(
-        jnp.where(better, targ, cur_i1), jnp.float32
+        jnp.where(better, targ + _IDX_BIAS, cur_i1), jnp.float32
     )
     pay_nn = jnp.where(better, nn, pay[:, 0:3])
 
@@ -129,14 +161,21 @@ def _loss_kernel(
         < m_valid
     ).astype(jnp.float32)  # [1, MT]
     mask_s = jnp.where(row_ids == carg, valid, 0.0)
-    snn = jnp.stack(
-        [
-            jnp.sum(mask_s * y, axis=1)
-            for y in (y0, y1, y2)
-        ],
-        axis=-1,
-    )  # [NT, 3]
-    cnt = jnp.sum(mask_s, axis=1, keepdims=True)  # [NT, 1]
+    if use_mxu:
+        # yt row 3 is packed with ones, so one contraction yields the
+        # coordinate scatter sums AND the counts
+        sc = _payload_contract(mask_s, yt_ref[0])
+        snn = sc[:, 0:3]
+        cnt = sc[:, 3:4]
+    else:
+        snn = jnp.stack(
+            [
+                jnp.sum(mask_s * y, axis=1)
+                for y in (y0, y1, y2)
+            ],
+            axis=-1,
+        )  # [NT, 3]
+        cnt = jnp.sum(mask_s, axis=1, keepdims=True)  # [NT, 1]
 
     pay_ref[0] = jnp.concatenate(
         [
@@ -157,7 +196,7 @@ def _loss_kernel_2n(
     d2_ref,  # (1, 1, MT)
     i2_ref,  # (1, 1, MT)
     pay_ref,  # (1, 2048, 16)  same lane layout as _loss_kernel
-    *, tile_m, m_valid,
+    *, tile_m, m_valid, use_mxu=False,
 ):
     """n_pad=2048 variant: two 1024-row subtiles processed inside one grid
     cell. The column argmin must be FINAL before the scatter sums — with n
@@ -223,25 +262,38 @@ def _loss_kernel_2n(
             jnp.where(d == tmin, col_ids, 2**30), axis=1, keepdims=True
         )
         sel = col_ids == targ
-        nn = jnp.stack(
-            [
-                jnp.min(jnp.where(sel, yy, _BIG), axis=1)
-                for yy in (y0, y1, y2)
-            ],
-            axis=-1,
-        )
+        if use_mxu:
+            nn = _payload_contract(
+                sel.astype(jnp.float32), yt_ref[0]
+            )[:, 0:3]
+        else:
+            nn = jnp.stack(
+                [
+                    jnp.min(jnp.where(sel, yy, _BIG), axis=1)
+                    for yy in (y0, y1, y2)
+                ],
+                axis=-1,
+            )
         cur = sub[:, 7:8]
         better = tmin < cur
         new_d1 = jnp.where(better, tmin, cur)
-        cur_i1 = pltpu.bitcast(sub[:, 8:9], jnp.int32)
-        new_i1 = pltpu.bitcast(jnp.where(better, targ, cur_i1), jnp.float32)
+        cur_i1 = pltpu.bitcast(sub[:, 8:9], jnp.int32)  # biased domain
+        new_i1 = pltpu.bitcast(
+            jnp.where(better, targ + _IDX_BIAS, cur_i1), jnp.float32
+        )
         pay_nn = jnp.where(better, nn, sub[:, 0:3])
 
         mask_s = jnp.where(row_ids + ni * HN == carg, valid, 0.0)
-        snn = jnp.stack(
-            [jnp.sum(mask_s * yy, axis=1) for yy in (y0, y1, y2)], axis=-1
-        )
-        cnt = jnp.sum(mask_s, axis=1, keepdims=True)
+        if use_mxu:
+            sc = _payload_contract(mask_s, yt_ref[0])
+            snn = sc[:, 0:3]
+            cnt = sc[:, 3:4]
+        else:
+            snn = jnp.stack(
+                [jnp.sum(mask_s * yy, axis=1) for yy in (y0, y1, y2)],
+                axis=-1,
+            )
+            cnt = jnp.sum(mask_s, axis=1, keepdims=True)
         new_rows.append(
             jnp.concatenate(
                 [
@@ -288,14 +340,19 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
         y2 = jnp.pad(y2, ((0, 0), (0, m_pad - m), (0, 0)),
                      constant_values=_PAD_COORD)
     yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    if PAYLOAD_VIA_MXU:
+        # row 3 = ones so the scatter contraction also yields the counts
+        yt = yt.at[:, 3, :].set(1.0)
 
     if n_pad <= 1024:
         kernel = functools.partial(
-            _loss_kernel, tile_n=n_pad, tile_m=tile_m, m_valid=m
+            _loss_kernel, tile_n=n_pad, tile_m=tile_m, m_valid=m,
+            use_mxu=PAYLOAD_VIA_MXU,
         )
     else:
         kernel = functools.partial(
-            _loss_kernel_2n, tile_m=tile_m, m_valid=m
+            _loss_kernel_2n, tile_m=tile_m, m_valid=m,
+            use_mxu=PAYLOAD_VIA_MXU,
         )
     vm = pltpu.VMEM
     d2, i2, pay = pl.pallas_call(
@@ -338,9 +395,9 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
     )(x2, yt)
 
     d1 = pay[:, :n, 7].reshape(lead + (n,))
-    i1 = jax.lax.bitcast_convert_type(pay[:, :n, 8], jnp.int32).reshape(
-        lead + (n,)
-    )
+    i1 = (
+        jax.lax.bitcast_convert_type(pay[:, :n, 8], jnp.int32) - _IDX_BIAS
+    ).reshape(lead + (n,))
     d2 = d2[:, 0, :m].reshape(lead + (m,))
     i2 = i2[:, 0, :m].reshape(lead + (m,))
     nn1 = pay[:, :n, 0:3].reshape(lead + (n, 3))

@@ -6,6 +6,14 @@ Here scaling is native: a ``jax.sharding.Mesh`` over all chips, batch /
 pair-grid axes sharded with NamedSharding, XLA inserting ICI collectives.
 """
 
+from geometric_adv_tpu.parallel.distributed import (
+    gather_global,
+    initialize_distributed,
+    is_primary,
+    make_global_replicated,
+    maybe_initialize_from_env,
+    shard_host_batch,
+)
 from geometric_adv_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
@@ -20,4 +28,10 @@ __all__ = [
     "replicated",
     "shard_batch",
     "pad_to_multiple",
+    "initialize_distributed",
+    "maybe_initialize_from_env",
+    "make_global_replicated",
+    "shard_host_batch",
+    "gather_global",
+    "is_primary",
 ]

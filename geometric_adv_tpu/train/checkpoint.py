@@ -35,7 +35,20 @@ def restore_checkpoint(train_dir: str, epoch: int, target=None):
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
             return ckptr.restore(path, item=target)
-        return ckptr.restore(path)
+        try:
+            return ckptr.restore(path)
+        except ValueError:
+            # checkpoints written by a multi-host run carry jax.Array
+            # sharding metadata for the pod topology they were saved on;
+            # restore them as plain numpy (values are fully replicated)
+            import jax
+            import numpy as np
+
+            meta = ckptr.metadata(path).item_metadata
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+            )
+            return ckptr.restore(path, restore_args=restore_args)
 
 
 def latest_epoch(train_dir: str) -> int | None:

@@ -24,6 +24,11 @@ import optax
 from geometric_adv_tpu.data.augment import apply_augmentations, device_augment
 from geometric_adv_tpu.models.pointnet_ae import PointNetAE
 from geometric_adv_tpu.ops import chamfer_loss_per_pc, emd_loss_per_pc
+from geometric_adv_tpu.parallel.distributed import (
+    gather_global,
+    make_global_replicated,
+    shard_host_batch,
+)
 from geometric_adv_tpu.parallel.mesh import (
     batch_sharding,
     pad_to_multiple,
@@ -99,7 +104,7 @@ class AETrainer:
             epoch=jnp.zeros((), jnp.int32),
         )
         if mesh is not None:
-            self.state = jax.device_put(self.state, replicated(mesh))
+            self.state = self._replicate_state(self.state)
 
         self._jit_train_step = jax.jit(self._train_step)
         self._jit_forward = jax.jit(self._forward)
@@ -110,6 +115,17 @@ class AETrainer:
                 train=False,
                 method=PointNetAE.decode,
             )
+        )
+
+    def _replicate_state(self, state):
+        """Replicate the state pytree over the mesh, multi-host aware
+        (device_put cannot target non-addressable devices; every process
+        holds the identical state because init/restore are deterministic)."""
+        if jax.process_count() == 1:
+            return jax.device_put(state, replicated(self.mesh))
+        return jax.tree.map(
+            lambda a: make_global_replicated(jax.device_get(a), self.mesh),
+            state,
         )
 
     # --- device-side programs -------------------------------------------
@@ -179,11 +195,12 @@ class AETrainer:
             xb, n_orig = pad_to_multiple(xb, shard_of)
             gb, _ = pad_to_multiple(gb, shard_of)
             if self.mesh is not None:
-                sh = batch_sharding(self.mesh)
-                xb, gb = jax.device_put(xb, sh), jax.device_put(gb, sh)
+                xb = shard_host_batch(xb, self.mesh)
+                gb = shard_host_batch(gb, self.mesh)
             results = dict(zip(names, self._jit_forward(self.state, xb, gb)))
+            picked = gather_global({k: results[k] for k in outputs})
             for k in outputs:
-                outs[k].append(np.asarray(results[k])[:n_orig])
+                outs[k].append(picked[k][:n_orig])
         return {k: np.concatenate(v) for k, v in outs.items()}
 
     def reconstruct(self, x, gt=None, compute_loss=True):
@@ -261,8 +278,13 @@ class AETrainer:
         else:
             original, ids, _ = in_data.full_epoch_data(shuffle=False)
             feed = apply_augmentations(original, conf)
+        # gt for the loss: the clean original only when denoising; otherwise
+        # the (possibly augmented) feed reconstructs against itself
+        # (reference: src/autoencoder.py:247-251 — reconstruct(feed_data)
+        # with gt defaulting to the input).
+        gt = original if self.conf.is_denoising else feed
         out = self._batched_forward(
-            feed.astype(np.float32), original.astype(np.float32),
+            feed.astype(np.float32), gt.astype(np.float32),
             batch_size=conf.batch_size, outputs=("recon", "loss"),
         )
         data_loss = float(out["loss"].mean())
@@ -326,6 +348,7 @@ class AETrainer:
         gauss_sigma = None if gauss is None else float(gauss["sigma"])
         z_rotate = bool(conf.z_rotate)
         augmented = gauss is not None or z_rotate
+        is_denoising = bool(conf.is_denoising)
 
         @jax.jit
         def epoch_fn(state, data, feed, epoch_key):
@@ -339,12 +362,25 @@ class AETrainer:
 
             def body(st, inp):
                 gt, batch, key = inp
+                if self.mesh is not None:
+                    # shard the batch axis over the mesh inside the scanned
+                    # program (the epoch inputs are replicated); XLA inserts
+                    # the gradient all-reduce over ICI/DCN
+                    sh = batch_sharding(self.mesh)
+                    gt = jax.lax.with_sharding_constraint(gt, sh)
+                    batch = jax.lax.with_sharding_constraint(batch, sh)
                 if augmented:
                     batch = device_augment(
                         batch, key,
                         gauss_mu=gauss_mu, gauss_sigma=gauss_sigma,
                         z_rotate=z_rotate,
                     )
+                    if not is_denoising:
+                        # reference fits the augmented batch against ITSELF
+                        # (src/pointnet_ae.py:123-128: fit(batch_i) with gt
+                        # defaulting to the input) — only denoising configs
+                        # reconstruct the clean original.
+                        gt = batch
                 st, loss, _ = self._train_step(st, batch, gt)
                 return st, loss
 
@@ -366,8 +402,12 @@ class AETrainer:
                     batch = original
             else:
                 batch, _, _ = train_data.next_batch(conf.batch_size)
-                original = batch
+                original = None
             batch = apply_augmentations(batch, conf).astype(np.float32)
+            if original is None:
+                # non-denoising: augmented batch is its own gt
+                # (reference: src/pointnet_ae.py:123-128).
+                original = batch
             if only_fw:
                 _, loss = self.reconstruct(batch, original)
             else:
@@ -391,24 +431,32 @@ class AETrainer:
             epoch_fn = self._device_epoch_fn(
                 n_batches, conf.batch_size, conf
             )
-            data_dev = jnp.asarray(
-                train_data.point_clouds.astype(np.float32)
-            )
+            data_np = train_data.point_clouds.astype(np.float32)
             if conf.is_denoising and train_data.noisy_point_clouds is not None:
-                feed_dev = jnp.asarray(
-                    train_data.noisy_point_clouds.astype(np.float32)
+                feed_np = train_data.noisy_point_clouds.astype(np.float32)
+            else:
+                feed_np = data_np
+            if self.mesh is not None:
+                data_dev = make_global_replicated(data_np, self.mesh)
+                feed_dev = (
+                    data_dev if feed_np is data_np
+                    else make_global_replicated(feed_np, self.mesh)
                 )
             else:
-                feed_dev = data_dev
-            if self.mesh is not None:
-                data_dev = jax.device_put(data_dev, replicated(self.mesh))
-                feed_dev = jax.device_put(feed_dev, replicated(self.mesh))
+                data_dev = jnp.asarray(data_np)
+                feed_dev = (
+                    data_dev if feed_np is data_np else jnp.asarray(feed_np)
+                )
             epoch_key = jax.random.PRNGKey(int(self.state.epoch) + 1)
 
         for _ in range(conf.training_epochs):
             if scan_epochs:
                 t0 = time.time()
                 epoch_key, sub = jax.random.split(epoch_key)
+                if jax.process_count() > 1:
+                    # multi-process jit inputs must be global or host arrays
+                    # (a committed single-device key is neither)
+                    sub = np.asarray(sub)
                 self.state, loss_dev = epoch_fn(
                     self.state, data_dev, feed_dev, sub
                 )
@@ -460,6 +508,18 @@ class AETrainer:
     # --- checkpointing ----------------------------------------------------
     def save(self, train_dir, epoch=None):
         epoch = int(self.state.epoch) if epoch is None else epoch
+        if jax.process_count() > 1:
+            # orbax coordinates multi-host saves itself (its save protocol
+            # runs cross-process barriers, so EVERY process must call it);
+            # hand it the global jax.Arrays so the array handler writes each
+            # value exactly once from its primary replica
+            tree = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "epoch": epoch,
+            }
+            return ckpt.save_checkpoint(train_dir, epoch, tree)
         tree = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
@@ -494,7 +554,7 @@ class AETrainer:
                 )
             )
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = self._replicate_state(self.state)
         return self
 
 

@@ -105,8 +105,13 @@ class _TransferTrainerBase:
 
     def train(
         self, point_clouds, epochs, batch_size, log_file=None, seed=0,
-        tag="transfer",
+        tag="transfer", held_out=None, val_step=1,
     ):
+        """``held_out`` enables the reference's per-epoch validation eval
+        (FoldingNet logs a val + middle-fold val loss every 100 train
+        batches, reference: transfer/foldingnet/train_foldingnet.py:129-171;
+        the AtlasNet trainer runs a full test pass per epoch,
+        reference: transfer/atlasnet/training/trainer.py:83-110)."""
         key = jax.random.PRNGKey(seed)
         n = len(point_clouds)
         n_batches = n // batch_size
@@ -122,10 +127,30 @@ class _TransferTrainerBase:
                 f"{tag} epoch {epoch:03d}: loss {float(loss):.6f} "
                 f"({time.time() - t0:.1f}s)"
             )
+            if held_out is not None and epoch % val_step == 0:
+                ev = self.evaluate(held_out)
+                msg += f" val loss: {ev['loss']:.6f}"
+                if "mid_loss" in ev:
+                    msg += f" middle val loss: {ev['mid_loss']:.6f}"
             print(msg)
             if log_file is not None:
                 log_file.write(msg + "\n")
         return self
+
+    def evaluate(self, pclouds, batch_size=100):
+        """Mean clean-reconstruction loss over a point-cloud set
+        (reference: transfer/foldingnet/tst_foldingnet.py:79-98 —
+        example-weighted mean of chamfer(input, recon)). Subclasses may add
+        further keys (FoldingNet: the middle-fold loss)."""
+        pcs = np.asarray(pclouds, np.float32)
+        total, n = 0.0, len(pcs)
+        for s in range(0, n, batch_size):
+            xb = pcs[s : s + batch_size]
+            recon = self._jit_forward(self.state, xb)
+            total += float(
+                np.sum(np.asarray(chamfer_loss_per_pc(recon, xb)))
+            )
+        return {"loss": total / n}
 
     def get_reconstructions(self, pclouds, batch_size=100):
         # inference batch 100 vs the reference wrappers' 10/4
@@ -264,6 +289,33 @@ class FoldingNetTrainer(_TransferTrainerBase):
         nbr, cov = graph_features(x)
         recon, _, _ = self.model.apply(variables, x, cov, nbr, train=False)
         return recon
+
+    def _apply_eval_full(self, variables, x):
+        nbr, cov = graph_features(x)
+        recon, mid, _ = self.model.apply(variables, x, cov, nbr, train=False)
+        return recon, mid
+
+    def evaluate(self, pclouds, batch_size=100):
+        """Adds the middle-fold (first folding stage) loss the reference
+        reports alongside the final loss
+        (reference: transfer/foldingnet/tst_foldingnet.py:87-98)."""
+        if not hasattr(self, "_jit_forward_full"):
+            self._jit_forward_full = jax.jit(
+                lambda state, x: self._apply_eval_full(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, x
+                )
+            )
+        pcs = np.asarray(pclouds, np.float32)
+        total, total_mid, n = 0.0, 0.0, len(pcs)
+        for s in range(0, n, batch_size):
+            xb = pcs[s : s + batch_size]
+            recon, mid = self._jit_forward_full(self.state, xb)
+            total += float(np.sum(np.asarray(chamfer_loss_per_pc(recon, xb))))
+            total_mid += float(
+                np.sum(np.asarray(chamfer_loss_per_pc(mid, xb)))
+            )
+        return {"loss": total / n, "mid_loss": total_mid / n}
 
 
 def get_transfer_ae(ae_type: str, **kwargs):

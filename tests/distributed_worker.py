@@ -6,6 +6,11 @@ host-local batch into a globally sharded array, and run ONE sharded AE train
 step. Prints the loss so the parent test can assert cross-process agreement.
 
 Usage: python distributed_worker.py <coordinator_addr> <num_procs> <proc_id>
+           [out_dir]
+
+With ``out_dir``, process 0 additionally saves the metrics of a small
+cross-process sharded attack (attack_metrics_2proc.npy) so the parent test
+can assert sharded-vs-single attack equality across the process boundary.
 """
 
 import os
@@ -84,6 +89,44 @@ def main():
     assert np.isfinite(loss) and np.isfinite(loss2)
 
     print(f"DISTRIBUTED_OK proc={proc_id} loss={loss:.10f} loss2={loss2:.10f}")
+
+    # --- cross-process sharded ATTACK: the scanned attack program runs
+    # over the 4-device global mesh (pair batch sharded 2 rows/process);
+    # the parent test compares the gathered metrics against a
+    # single-process run of the identical attack.
+    if len(sys.argv) > 4:
+        from geometric_adv_tpu.attack.core import AttackRunner
+
+        aconf = Configuration(
+            n_input=[32, 3],
+            bneck_size=8,
+            encoder_filters=[8, 16, 8],
+            decoder_sizes=[16, 16],
+            batch_size=8,
+            learning_rate=0.01,
+            loss_adv_type="chamfer",
+            loss_dist_type="chamfer",
+            dist_weight_list=[1.0],
+            num_iterations=5,
+            num_iterations_thresh=3,
+            saver_step=None,
+        )
+        runner = AttackRunner(
+            trainer.model, trainer.state.params, trainer.state.batch_stats,
+            aconf, mesh=mesh,
+        )
+        arng = np.random.RandomState(7)
+        src = arng.rand(8, 32, 3).astype(np.float32) - 0.5
+        tgt = arng.rand(8, 32, 3).astype(np.float32) - 0.5
+        tz = np.zeros((8, aconf.bneck_size), np.float32)
+        ref = np.ones(8, np.float32)
+        out = runner.attack(src, tz, tgt, ref, batch_size=8)
+        if jax.process_index() == 0:
+            np.save(
+                os.path.join(sys.argv[4], "attack_metrics_2proc.npy"),
+                out.metrics,
+            )
+        print(f"ATTACK_OK proc={proc_id} sum={float(out.metrics.sum()):.8f}")
 
 
 if __name__ == "__main__":

@@ -154,9 +154,21 @@ def test_full_pipeline(pipeline_dir):
             "--attack_pc_idx", sel, "--data_type", "adversarial",
             "--classification_type", "hit_target")
 
-    run_cli("train_transfer", *common, "--ae_type", "atlasnet",
-            "--ae_folder", ae, "--data_folder", "data/tiny",
-            "--epochs", "2", "--batch_size", "8", "--number_points", "64")
+    out = run_cli("train_transfer", *common, "--ae_type", "atlasnet",
+                  "--ae_folder", ae, "--data_folder", "data/tiny",
+                  "--epochs", "2", "--batch_size", "8",
+                  "--number_points", "64")
+    # per-epoch held-out eval (reference: atlasnet trainer test_epoch /
+    # train_foldingnet.py validation prints)
+    assert "val loss:" in out, out[-2000:]
+    run_cli("tst_transfer", *common, "--ae_type", "atlasnet",
+            "--train_folder", "log/atlasnet_for_transfer",
+            "--ae_folder", ae, "--number_points", "64")
+    at_eval = osp.join(d, "log/atlasnet_for_transfer", "eval")
+    assert osp.exists(
+        osp.join(at_eval, "reconstructions_test_set_13l.npy"))
+    assert osp.exists(osp.join(at_eval, "ae_loss_test_set_13l.npy"))
+    assert "test loss:" in open(osp.join(at_eval, "test_stats.txt")).read()
     run_cli("run_transfer", *common, "--transfer_ae_type", "AtlasNet",
             "--transfer_ae_folder", "log/atlasnet_for_transfer",
             "--ae_folder", ae, "--attack_pc_idx", sel)
@@ -175,9 +187,20 @@ def test_full_pipeline(pipeline_dir):
     # FoldingNet transfer leg (reference: transfer/runner_foldingnet.sh ->
     # run_transfer.py FoldingNet -> evaluate_transfer.py); decoder output is
     # the fixed 45x45 fold grid = 2025 points regardless of input size
-    run_cli("train_transfer", *common, "--ae_type", "foldingnet",
-            "--ae_folder", ae, "--data_folder", "data/tiny",
-            "--epochs", "1", "--batch_size", "8")
+    out = run_cli("train_transfer", *common, "--ae_type", "foldingnet",
+                  "--ae_folder", ae, "--data_folder", "data/tiny",
+                  "--epochs", "1", "--batch_size", "8")
+    assert "val loss:" in out and "middle val loss:" in out, out[-2000:]
+    out = run_cli("tst_transfer", *common, "--ae_type", "foldingnet",
+                  "--train_folder", "log/foldingnet_for_transfer",
+                  "--ae_folder", ae)
+    # the reference's tst_foldingnet prints final + middle-fold test losses
+    # (transfer/foldingnet/tst_foldingnet.py:98)
+    assert "test loss:" in out and "middle test loss:" in out, out[-2000:]
+    fn_eval = osp.join(d, "log/foldingnet_for_transfer", "eval")
+    frec_clean = np.load(
+        osp.join(fn_eval, "reconstructions_test_set_13l.npy"))
+    assert frec_clean.shape[-2:] == (2025, 3), frec_clean.shape
     run_cli("run_transfer", *common, "--transfer_ae_type", "FoldingNet",
             "--transfer_ae_folder", "log/foldingnet_for_transfer",
             "--ae_folder", ae, "--attack_pc_idx", sel)
@@ -203,7 +226,7 @@ def test_full_pipeline(pipeline_dir):
 
 # golden-name -> path relative to the stage dirs; one small artifact per
 # pipeline stage (metrics npy / stats txt), bit-compared
-def _golden_map(eval_dir, attack_dir):
+def _golden_map(project_dir, eval_dir, attack_dir):
     return {
         # tst_ae
         "ae_loss_test_set.npy": osp.join(eval_dir, "ae_loss_test_set_13l.npy"),
@@ -246,11 +269,18 @@ def _golden_map(eval_dir, attack_dir):
         "transfer_metrics_foldingnet_sphere.npy": osp.join(
             attack_dir, "transfer_res_foldingnet", "sphere",
             "transfer_metrics.npy"),
+        # tst_transfer (clean-test-set transfer eval)
+        "transfer_test_loss_atlasnet.npy": osp.join(
+            project_dir, "log/atlasnet_for_transfer", "eval",
+            "ae_loss_test_set_13l.npy"),
+        "transfer_test_loss_foldingnet.npy": osp.join(
+            project_dir, "log/foldingnet_for_transfer", "eval",
+            "ae_loss_test_set_13l.npy"),
     }
 
 
 def _check_goldens(project_dir, eval_dir, attack_dir):
-    mapping = _golden_map(eval_dir, attack_dir)
+    mapping = _golden_map(project_dir, eval_dir, attack_dir)
     if os.environ.get("UPDATE_GOLDENS"):
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for name, src in mapping.items():
@@ -274,3 +304,64 @@ def _check_goldens(project_dir, eval_dir, attack_dir):
                 got, want, err_msg=f"golden drift in {name} "
                 "(bit-wise; a numeric regression in some pipeline stage)"
             )
+
+
+def test_emd_pipeline_leg(tmp_path):
+    """EMD end-to-end: train an --loss emd victim AE, produce its eval
+    artifacts, and run an attack whose adversarial/distance losses flow
+    through the repaired EMD semantics (the reference's EMD attack branch is
+    dead code — src/adv_ae.py:122-124; SURVEY §7 says rebuild the working
+    surface). This integration-tests the ~1,170-LoC-equivalent op beyond the
+    unit suite (reference: external/structural_losses/tf_approxmatch.py)."""
+    d = str(tmp_path)
+    ae = "log/autoencoder_emd"
+    sel = f"{ae}/eval/sel_idx_rand_2_test_set_13l.npy"
+    common = ["--project_dir", d]
+
+    run_cli("make_synthetic_data", *common, "--data_folder", "data/tiny",
+            "--class_names", "sphere", "cube",
+            "--n_per_class", "40", "--n_points", "64")
+    run_cli("train_ae", *common, "--data_folder", "data/tiny",
+            "--n_points", "64", "--bneck_size", "16", "--batch_size", "10",
+            "--training_epochs", "2", "--loss", "emd", "--train_folder", ae)
+    # the epoch loss is EMD divided by the point count
+    # (reference: src/pointnet_ae.py:135-136)
+    stats = open(osp.join(d, ae, "train_stats.txt")).read()
+    assert len(stats.splitlines()) >= 1
+
+    run_cli("tst_ae", *common, "--data_folder", "data/tiny",
+            "--train_folder", ae)
+    run_cli("prepare_indices_for_attack", *common, "--ae_folder", ae,
+            "--get_rand_idx", "1", "--get_latent_nn_idx", "1",
+            "--get_chamfer_nn_idx", "1", "--num_instance_per_class", "2")
+    run_cli("run_attack", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel, "--num_pc_for_attack", "2",
+            "--num_pc_for_target", "2", "--num_iterations", "4",
+            "--num_iterations_thresh", "2", "--use_mesh", "0")
+    attack_dir = osp.join(d, ae, "eval", "attack_res")
+    m = np.load(osp.join(attack_dir, "sphere", "adversarial_metrics.npy"))
+    # 2 sources x 1 target class x 2 targets = 4 pairs
+    assert m.shape == (1, 4, 5), m.shape
+    assert np.isfinite(m).all() and (m[..., 4] > 0).all()
+
+    run_cli("get_dists_per_point", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    run_cli("evaluate_attack", *common, "--ae_folder", ae,
+            "--attack_pc_idx", sel)
+    assert osp.exists(
+        osp.join(attack_dir, "over_classes", "eval_stats.txt"))
+
+    # golden: EMD-attack metrics, bit-compared
+    name = "adversarial_metrics_emd_sphere.npy"
+    src = osp.join(attack_dir, "sphere", "adversarial_metrics.npy")
+    golden = osp.join(GOLDEN_DIR, name)
+    if os.environ.get("UPDATE_GOLDENS"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        shutil.copy(src, golden)
+        pytest.skip("golden regenerated — rerun to compare")
+    if not osp.exists(golden):
+        pytest.skip("no golden checked in")
+    np.testing.assert_array_equal(
+        np.load(src), np.load(golden),
+        err_msg=f"golden drift in {name}",
+    )

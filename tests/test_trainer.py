@@ -271,3 +271,59 @@ def test_denoising_scan_uses_noisy_feed(tmp_path):
         trainer._train_step = orig_step
     # the feed batches sit exactly 10 away from their aligned gt batches
     assert 9.9 < float(mean_diff) < 10.1, float(mean_diff)
+
+
+def test_non_denoising_augmented_gt_is_the_augmented_batch(tmp_path):
+    """Non-denoising + augmentation: the reference fits the AUGMENTED batch
+    against itself (src/pointnet_ae.py:123-128 fit(batch_i), gt defaults to
+    the input); only denoising configs reconstruct the clean original. Pin
+    that on the scanned epoch, the host epoch, and evaluate() with a pure
+    mu-shift augment (sigma=0 => feed = original + mu exactly)."""
+    import jax
+
+    mu = 5.0
+    conf = tiny_conf(
+        tmp_path, training_epochs=1,
+        gauss_augment={"mu": mu, "sigma": 0.0},
+    )
+    trainer = AETrainer(conf)
+    pcs = make_data(n=16).point_clouds
+
+    # scanned epoch: probe the (feed, gt) pair the train step receives
+    orig_step = trainer._train_step
+
+    def probe_step(state, x, gt):
+        return state, jax.numpy.mean(jax.numpy.abs(x - gt)), None
+
+    trainer._train_step = probe_step
+    try:
+        epoch_fn = trainer._device_epoch_fn(2, conf.batch_size, conf)
+        _, mean_diff = epoch_fn(
+            trainer.state, jax.numpy.asarray(pcs),
+            jax.numpy.asarray(pcs), jax.random.PRNGKey(0),
+        )
+    finally:
+        trainer._train_step = orig_step
+    assert float(mean_diff) < 1e-6, float(mean_diff)  # gt == augmented feed
+
+    # host epoch: probe the (feed, gt) pair reconstruct receives — it must
+    # be (augmented, augmented), i.e. zero distance between them
+    data = PointCloudDataSet(pcs, init_shuffle=False)
+    orig_recon = trainer.reconstruct
+
+    def probe_recon(x, gt=None, compute_loss=True):
+        gt = x if gt is None else gt
+        return None, float(np.mean(np.abs(np.asarray(x) - np.asarray(gt))))
+
+    trainer.reconstruct = probe_recon
+    try:
+        feed_gt_diff, _ = trainer._single_epoch(data, conf, only_fw=True)
+    finally:
+        trainer.reconstruct = orig_recon
+    assert feed_gt_diff < 1e-6, feed_gt_diff
+
+    # evaluate(): loss must match scoring the shifted feed against itself
+    recon, ev_loss, feed, _, original = trainer.evaluate(data, conf)
+    np.testing.assert_allclose(feed, original + mu, atol=1e-6)
+    manual = float(np.mean(trainer.get_loss_per_pc(feed, feed)))
+    np.testing.assert_allclose(ev_loss, manual, rtol=1e-6)
