@@ -69,14 +69,26 @@ def _retry(fn, what, delays=(10, 30, 60, 120)):
     return fn()  # final attempt propagates
 
 
-def bench_attack(ae_dtype="float32"):
+def bench_attack(ae_dtype="float32", fused=None):
     """Median attack pair-iters/s/chip @1024 pts over fresh-input reps.
 
     ``ae_dtype="bfloat16"`` runs the victim AE's compute in bf16 (losses and
     metrics stay f32) — the documented fast configuration; the headline
     stays the reference-equivalent f32.
+
+    ``fused`` selects the chamfer-loss implementation (True = fused Pallas
+    loss+payload kernel, False = composed nn_distance + fused backward,
+    None = library default). The two implementations' relative speed
+    INVERTS with chip state (fused won round 2's sessions by 4-5%; composed
+    won 2026-08-17's by 32%), so main() autotunes: it measures both once
+    and runs the headline on the session's winner.
     """
     import jax
+
+    if fused is not None:
+        import geometric_adv_tpu.ops.chamfer as _chamfer_mod
+
+        _chamfer_mod.FUSED_LOSS_ENABLED = bool(fused)
 
     from geometric_adv_tpu.attack.core import AttackRunner
     from geometric_adv_tpu.parallel import get_mesh
@@ -180,57 +192,104 @@ def probe_chip_state():
 
 # elementwise ops per fused loop iteration in probe_chip_state_vpu's body
 _VPU_PROBE_OPS = 6
-# [n, m]-sized elementwise passes per pair-iteration of the f32 attack at
-# 1024 pts: two chamfer losses (fused fwd ~31 passes incl. payloads) + the
-# cheap elementwise backward; measured-pass accounting in DESIGN.md §2.
-_ATTACK_ELEM_OPS_PER_PAIR_ITER = 2 * 31 * 1024 * 1024
 
 
 def probe_chip_state_vpu():
     """Chamfer-shaped VPU calibration: f32 elementwise T-ops/s NOW.
 
-    The attack is VPU-pass-bound (DESIGN.md §2: cost tracks the number of
-    [n, m]-sized elementwise passes, ~1.4 T elem-ops/s at best), so the
-    matmul probe above measures the wrong unit for normalising it. This
-    probe runs a fused elementwise chain over a [1024, 1024] f32 tile — the
-    attack's own tile shape — and reports delivered elem-ops/s. The
-    roofline-implied attack ceiling is vpu_ops_per_sec /
-    _ATTACK_ELEM_OPS_PER_PAIR_ITER.
+    The attack's chamfer kernels run elementwise chains over VMEM-resident
+    tiles, so the probe must too: a Pallas kernel loads one [256, 1024] f32
+    tile pair into VMEM and runs a 6-op chain in an on-chip fori_loop.
+    Sizing lessons (2026-08-17): (a) a 0.755 G-op probe finished inside one
+    ~32 ms relay round trip and measured the RELAY; (b) an XLA scan-of-jnp
+    chain re-streams its operands from HBM every iteration and measured
+    0.46 T-ops/s while the chamfer kernel itself simultaneously delivered
+    1.6 T-ops/s — that probe measured HBM bandwidth, not the VPU.
     """
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    n = m = 1024
-    # sized >> the ~32 ms relay round trip: 16384 iterations x 6 ops over a
-    # VMEM-resident [1024, 1024] f32 tile = 103 G elem-ops (~75 ms at the
-    # 1.4 T elem-ops/s best-case) — a 120-rep first cut measured the RELAY,
-    # not the VPU (0.755 G-ops finished inside one round trip)
-    reps = 16384
+    n, m = 256, 1024
+    iters = 32768  # 51.5 G elem-ops/call: ~37 ms at the 1.4 T best-case
 
-    @jax.jit
-    def chain(x, y):
-        def body(c, _):
+    def kernel(x_ref, y_ref, o_ref):
+        x = x_ref[:]
+        y = y_ref[:]
+
+        def body(_, c):
             d = x - c          # 1
             d = d * d          # 2
             d = d + y          # 3
             d = d * 0.5 + c    # 4, 5
-            c = jnp.minimum(d, c + 1.0)  # 6 (+1 fused add amortised)
-            return c, None
-        out, _ = jax.lax.scan(body, x, None, length=reps)
-        return out
+            return jnp.minimum(d, c + 1.0)  # 6
+
+        o_ref[:] = jax.lax.fori_loop(0, iters, body, x)
+
+    @jax.jit
+    def run(x, y):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, y)
 
     rng = np.random.RandomState(11)
     x = jnp.asarray(rng.rand(n, m), jnp.float32)
     y = jnp.asarray(rng.rand(n, m), jnp.float32)
-    float(jnp.sum(chain(x, y)))  # compile + warmup
+    float(jnp.sum(run(x, y)))  # compile + warmup
     ts = []
     for r in range(3):
         x2 = x + np.float32(1e-3 * (r + 1))
         t0 = time.time()
-        float(jnp.sum(chain(x2, y)))
+        float(jnp.sum(run(x2, y)))
         ts.append(time.time() - t0)
-    ops = n * m * _VPU_PROBE_OPS * reps / float(np.median(ts))
+    ops = n * m * _VPU_PROBE_OPS * iters / float(np.median(ts))
     return ops / 1e12
+
+
+def probe_chamfer_kernel():
+    """Fixed-workload probe of the HOT KERNEL itself: the min-only chamfer
+    pallas kernel at [64, 2048, 2048], amortized over a device-side scan
+    (ms per call). This is the cleanest cross-session drift instrument —
+    if the identical fixed kernel call drifts in proportion to the attack,
+    the drift is the chip/scheduler, not the program. (The elementwise
+    probe's serial fori_loop chain under-reads the VPU relative to the real
+    kernels' ILP: one session measured the attack at 1.85x that probe's
+    implied ceiling.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_adv_tpu.ops.chamfer import nn_distance_values
+
+    b, n = 64, 2048
+    inner = 10
+
+    @jax.jit
+    def many(x, y):
+        def body(c, _):
+            d1, d2 = nn_distance_values(x + c, y)
+            return c + 1e-4, jnp.sum(d1) + jnp.sum(d2)
+        _, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        return jnp.sum(sums)
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(b, n, 3) - 0.5, jnp.float32)
+    y = jnp.asarray(rng.rand(b, n, 3) - 0.5, jnp.float32)
+    float(many(x, y))  # compile + warmup
+    ts = []
+    for _ in range(3):
+        x = x + np.float32(1e-3)
+        t0 = time.time()
+        float(many(x, y))
+        ts.append(time.time() - t0)
+    return float(np.median(ts)) / inner * 1e3  # ms per fixed kernel call
 
 
 def bench_chamfer_matrix():
@@ -284,6 +343,12 @@ def main():
             extras[f"probe_mxu_tflops_{tag}"] = round(mxu, 1)
         except Exception as e:
             _log(f"bench: mxu probe failed: {type(e).__name__}: {e}")
+        try:
+            extras[f"probe_chamfer_kernel_ms_{tag}"] = round(
+                probe_chamfer_kernel(), 2
+            )
+        except Exception as e:
+            _log(f"bench: chamfer probe failed: {type(e).__name__}: {e}")
         return vpu
 
     # (vpu, mxu, attack) triples: probes immediately before AND after the
@@ -292,18 +357,30 @@ def main():
     # attack; the vpu probe measures the resource the attack actually uses).
     vpu_before = run_probes("before")
 
-    attempts = []
-    for attempt in range(MAX_ATTACK_ATTEMPTS):
-        rate = bench_attack()
-        attempts.append(round(rate, 1))
-        _log(f"bench: attack attempt {attempt + 1}: {rate:.0f} pair-iters/s")
-        if rate >= RETRY_IF_BELOW or attempt == MAX_ATTACK_ATTEMPTS - 1:
+    # Autotune the chamfer-loss implementation for THIS session's chip
+    # state: fused-vs-composed relative speed inverts across sessions
+    # (see bench_attack docstring), so measure both and keep the winner.
+    rate_fused = bench_attack(fused=True)
+    _log(f"bench: attack[fused kernel]: {rate_fused:.0f} pair-iters/s")
+    rate_composed = bench_attack(fused=False)
+    _log(f"bench: attack[composed]: {rate_composed:.0f} pair-iters/s")
+    winner_fused = rate_fused >= rate_composed
+    extras["attack_fused_kernel"] = round(rate_fused, 1)
+    extras["attack_composed"] = round(rate_composed, 1)
+    extras["attack_winner"] = "fused" if winner_fused else "composed"
+
+    attempts = [round(max(rate_fused, rate_composed), 1)]
+    for attempt in range(1, MAX_ATTACK_ATTEMPTS):
+        if attempts[-1] >= RETRY_IF_BELOW:
             break
         _log(
             f"bench: below {RETRY_IF_BELOW:.0f} — chip looks throttled; "
             f"sleeping {RETRY_SLEEP_S}s and retrying"
         )
         time.sleep(RETRY_SLEEP_S)
+        rate = bench_attack(fused=winner_fused)
+        attempts.append(round(rate, 1))
+        _log(f"bench: attack attempt {attempt + 1}: {rate:.0f} pair-iters/s")
     pair_iters_per_sec = max(attempts)
     extras["attack_attempts"] = attempts
 
@@ -312,15 +389,10 @@ def main():
     # roofline fraction vs the SIMULTANEOUSLY measured VPU ceiling: the
     # attack's elementwise-pass cost over what this chip delivered for the
     # same kind of work in the same session
-    vpu = max(v for v in (vpu_before, vpu_after) if v is not None) if any(
-        v is not None for v in (vpu_before, vpu_after)
-    ) else None
-    if vpu:
-        ceiling = vpu * 1e12 / _ATTACK_ELEM_OPS_PER_PAIR_ITER
-        extras["vpu_roofline_pair_iters_ceiling"] = round(ceiling, 1)
-        extras["attack_frac_of_vpu_roofline"] = round(
-            pair_iters_per_sec / ceiling, 3
-        )
+    del vpu_before, vpu_after  # raw triples in extras ARE the record; no
+    # derived "roofline ceiling" here — the first such constant shipped in
+    # this round was beaten 1.85x by the attack itself (probe/program ILP
+    # mismatch); DESIGN.md interprets the cross-session table instead
 
     try:
         extras["chamfer_pair_evals_per_sec_2048pts"] = round(
@@ -330,7 +402,7 @@ def main():
         _log(f"bench: chamfer matrix metric failed: {type(e).__name__}: {e}")
     try:
         extras["attack_pair_iters_bf16_encoder"] = round(
-            bench_attack(ae_dtype="bfloat16"), 1
+            bench_attack(ae_dtype="bfloat16", fused=winner_fused), 1
         )
     except Exception as e:
         _log(f"bench: bf16 attack metric failed: {type(e).__name__}: {e}")

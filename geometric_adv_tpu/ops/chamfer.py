@@ -200,12 +200,19 @@ FUSED_LOSS_ENABLED = True
 
 
 def _fused_loss_supported(n: int) -> bool:
-    # Auto-routing uses the fused kernel only for n <= 1024, where it wins
-    # (+4-5%, tile_m=1024). A 2-subtile variant exists for n <= 2048
-    # (chamfer_loss_kernel._loss_kernel_2n, exact incl. cross-subtile ties)
-    # but measured 35% SLOWER than the composed path at [250, 2048^2]
-    # (3.9k vs 5.7k pair-iters/s) — callers wanting it can use
+    # Auto-routing uses the fused kernel only for n <= 1024. A 2-subtile
+    # variant exists for n <= 2048 (chamfer_loss_kernel._loss_kernel_2n,
+    # exact incl. cross-subtile ties) but measured 35-40% SLOWER than the
+    # composed path at [250, 2048^2] in BOTH rounds' sessions (r2: 3.9k vs
+    # 5.7k; r3: 3.3k vs 5.6k pair-iters/s) — callers wanting it can use
     # _chamfer_per_pc_fused directly.
+    #
+    # NOTE the n<=1024 fused-vs-composed ordering is CHIP-STATE DEPENDENT:
+    # round-2 sessions measured fused +4-5%; the 2026-08-17 session measured
+    # composed +32% (16.5k vs 12.5k) with the fused kernel itself running at
+    # full VPU rate — the difference is scheduling/pipelining against the
+    # encoder backward, not kernel quality. bench.py autotunes the flag per
+    # session; FUSED_LOSS_ENABLED is the escape hatch for pipelines.
     return FUSED_LOSS_ENABLED and max(n, 256) <= 1024
 
 

@@ -56,8 +56,14 @@ _IDX_BIAS = 1 << 23
 # products with a one-hot 0/1 mask are individually exact and whose f32
 # re-accumulation reconstructs the original value bit-exactly; the scatter
 # sums accumulate ~cnt[i] exact terms per row (different order than the VPU
-# sum, within 1-2 ulp). Replaces 13 [NT, MT]-sized VPU passes with 2 MXU
-# contractions per tile; default OFF until the on-TPU A/B lands.
+# sum, within 1-2 ulp).
+#
+# MEASURED NEGATIVE RESULT (2026-08-17, amortized on-device A/B): the MXU
+# route is SLOWER — [256, 1024^2] 5.05 ms (VPU) vs 7.4 ms (MXU), [250,
+# 2048^2] 21.9 vs 24.4 ms. An [NT, MT] x [MT, 8] contraction runs the
+# 128-wide systolic array ~6% occupied and HIGHEST costs 3 passes, so the
+# "13 VPU passes saved" never materialise. Kept as a validated-exact
+# documented variant; default stays the VPU masked reductions.
 PAYLOAD_VIA_MXU = False
 
 

@@ -43,6 +43,7 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
     monkeypatch.setattr(bench, "probe_chip_state", lambda: 1.0)
     monkeypatch.setattr(bench, "probe_chip_state_vpu", lambda: 1.0)
+    monkeypatch.setattr(bench, "probe_chamfer_kernel", lambda: 1.0)
     # tiny CPU rates always sit below the TPU throttle threshold — no
     # sleep-retry loops in the smoke test
     monkeypatch.setattr(bench, "RETRY_IF_BELOW", 0.0)
