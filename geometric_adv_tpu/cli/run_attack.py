@@ -41,11 +41,23 @@ def main():
     parser.add_argument("--project_dir", type=str, default=".")
     parser.add_argument("--use_mesh", type=int, default=1)
     parser.add_argument("--matmul_precision", type=str, default=None)
+    parser.add_argument(
+        "--chamfer_impl", type=str, default="auto",
+        choices=["auto", "fused", "composed"],
+        help="chamfer-loss implementation: the fused Pallas loss+payload "
+        "kernel vs the composed nn_distance path. Their ordering inverts "
+        "with chip state (DESIGN.md); 'auto' keeps the library routing "
+        "(fused for n<=1024)",
+    )
     flags = parser.parse_args()
     print("Run attack flags:", flags)
     from geometric_adv_tpu.cli.common import set_matmul_precision
 
     set_matmul_precision(flags.matmul_precision)
+    if flags.chamfer_impl != "auto":
+        import geometric_adv_tpu.ops.chamfer as chamfer_mod
+
+        chamfer_mod.FUSED_LOSS_ENABLED = flags.chamfer_impl == "fused"
 
     assert flags.loss_dist_type in ("pert", "chamfer")
     assert flags.loss_adv_type in ("latent", "chamfer")
