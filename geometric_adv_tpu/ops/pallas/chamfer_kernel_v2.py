@@ -39,6 +39,22 @@ def _pick_tile(size_padded: int) -> int:
     return 256
 
 
+def _pick_tile_n(n_pad: int) -> int:
+    """Row-tile for the full (argmin) kernel: narrow tiles pipeline better.
+
+    Measured (same-process sweep, [250, 2048^2]): 1024 -> 11.8 ms,
+    512 -> 10.7, 256 -> 9.6, 128 -> 8.9 ms/call — monotone, -24% total;
+    confirmed in a second session's interleaved A/B (12.19 -> 8.87 ms,
+    -27%, with -11% at [256, 1024^2]: 4.54 -> 4.03 ms). The m-tile stays
+    wide (_pick_tile): narrow m measured strongly negative (1024x256:
+    8.3 ms vs 4.3 at [256, 1024^2]) — the per-tile row reductions and d2
+    revisits scale with m-steps. The min-only values kernel keeps
+    _pick_tile: its sweep showed no reproducible preference (512 vs 1024
+    flipped sign across two sessions, 2.78/2.94 then 2.60/2.51 ms).
+    """
+    return 128 if n_pad % 128 == 0 else _pick_tile(n_pad)
+
+
 def _round_up(v: int, mult: int) -> int:
     return -(-v // mult) * mult
 
@@ -211,7 +227,7 @@ def nn_distance_pallas_v2(x: jax.Array, y: jax.Array):
 
     n_pad = _round_up(max(n, 256), 256)
     m_pad = _round_up(max(m, 256), 256)
-    tile_n = _pick_tile(n_pad)
+    tile_n = _pick_tile_n(n_pad)
     tile_m = _pick_tile(m_pad)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n), (0, 0)),
