@@ -316,11 +316,25 @@ class AttackRunner:
                 )
         self._variables = variables
 
-        def encode(x):
-            # losses/metrics stay f32 even when the AE computes in bf16
-            return model.apply(
-                variables, x, train=False, method=PointNetAE.encode
-            ).astype(jnp.float32)
+        from geometric_adv_tpu.models import sparse_encode as _se
+
+        if _se.sparse_enabled() and isinstance(model, PointNetAE):
+            # argmax-sparse input-gradient: the frozen encoder's backward
+            # runs on the <= bneck gathered argmax rows instead of all n
+            # point rows (models/sparse_encode.py) — z is bit-identical,
+            # the gradient matches dense autodiff up to f32 summation order
+            # (first-argmax on exact max ties; see PARITY.md)
+            _sparse = _se.make_sparse_encode(model, variables)
+
+            def encode(x):
+                # losses/metrics stay f32 even when the AE computes in bf16
+                return _sparse(x).astype(jnp.float32)
+        else:
+
+            def encode(x):
+                return model.apply(
+                    variables, x, train=False, method=PointNetAE.encode
+                ).astype(jnp.float32)
 
         def decode(z):
             return model.apply(

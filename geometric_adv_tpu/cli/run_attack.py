@@ -49,6 +49,15 @@ def main():
         "with chip state (DESIGN.md); 'auto' keeps the library routing "
         "(fused for n<=1024)",
     )
+    parser.add_argument(
+        "--encoder_vjp", type=str, default="auto",
+        choices=["auto", "sparse", "dense"],
+        help="victim-encoder input-gradient path: 'sparse' backprops only "
+        "the max-pool argmax rows (models/sparse_encode.py, n/bneck x less "
+        "backward matmul work, first-argmax tie semantics); 'dense' is "
+        "plain autodiff (even tie split); 'auto' = sparse on TPU, dense "
+        "elsewhere (keeps CPU golden bits)",
+    )
     flags = parser.parse_args()
     print("Run attack flags:", flags)
     from geometric_adv_tpu.cli.common import set_matmul_precision
@@ -58,6 +67,12 @@ def main():
         import geometric_adv_tpu.ops.chamfer as chamfer_mod
 
         chamfer_mod.FUSED_LOSS_ENABLED = flags.chamfer_impl == "fused"
+    if flags.encoder_vjp != "auto":
+        import geometric_adv_tpu.models.sparse_encode as sparse_encode_mod
+
+        sparse_encode_mod.SPARSE_ENCODER_VJP = (
+            flags.encoder_vjp == "sparse"
+        )
 
     assert flags.loss_dist_type in ("pert", "chamfer")
     assert flags.loss_adv_type in ("latent", "chamfer")
