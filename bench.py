@@ -49,6 +49,12 @@ BATCH_PAIRS = 256
 NUM_ITERS = 200
 TIMED_REPS = 3
 
+# the reference paper's workload shape (secondary metric; FULLRUN batch,
+# fewer iters to bound bench time — the rate is iteration-count independent)
+N_POINTS_REF = 2048
+BATCH_PAIRS_REF = 250
+NUM_ITERS_REF = 100
+
 MATRIX_CLOUDS = 512
 MATRIX_POINTS = 2048
 
@@ -426,12 +432,12 @@ def main():
     except Exception as e:
         _log(f"bench: bf16 attack metric failed: {type(e).__name__}: {e}")
     try:
-        # the reference paper's own workload shape (FULLRUN batch, fewer
-        # iters to bound bench time; rate is iteration-count independent)
         extras["attack_pair_iters_2048pts"] = round(
             bench_attack(
-                fused=winner_fused, n_points=2048, batch_pairs=250,
-                num_iters=100,
+                fused=winner_fused,
+                n_points=N_POINTS_REF,
+                batch_pairs=BATCH_PAIRS_REF,
+                num_iters=NUM_ITERS_REF,
             ),
             1,
         )

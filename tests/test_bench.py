@@ -20,6 +20,9 @@ def test_bench_attack_and_extras_tiny(monkeypatch):
     monkeypatch.setattr(bench, "TIMED_REPS", 1)
     monkeypatch.setattr(bench, "MATRIX_CLOUDS", 6)
     monkeypatch.setattr(bench, "MATRIX_POINTS", 16)
+    monkeypatch.setattr(bench, "N_POINTS_REF", 48)
+    monkeypatch.setattr(bench, "BATCH_PAIRS_REF", 4)
+    monkeypatch.setattr(bench, "NUM_ITERS_REF", 3)
     # no sleeping through retry backoff if something fails — fail fast
     monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
 
@@ -40,6 +43,9 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "TIMED_REPS", 1)
     monkeypatch.setattr(bench, "MATRIX_CLOUDS", 6)
     monkeypatch.setattr(bench, "MATRIX_POINTS", 16)
+    monkeypatch.setattr(bench, "N_POINTS_REF", 48)
+    monkeypatch.setattr(bench, "BATCH_PAIRS_REF", 4)
+    monkeypatch.setattr(bench, "NUM_ITERS_REF", 3)
     monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
     monkeypatch.setattr(bench, "probe_chip_state", lambda: 1.0)
     monkeypatch.setattr(bench, "probe_chip_state_vpu", lambda: 1.0)
