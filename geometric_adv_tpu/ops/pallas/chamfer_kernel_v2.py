@@ -93,7 +93,17 @@ def _nn_kernel_v2(
 
     # iotas stay rank-broadcastable ([1, MT] / [NT, 1]) — materializing two
     # full [NT, MT] int32 index planes costs two extra VPU passes and 8 MB
-    # of scoped VMEM per plane (same lesson as chamfer_loss_kernel)
+    # of scoped VMEM per plane (same lesson as chamfer_loss_kernel).
+    #
+    # NEGATIVE RESULT (round 3, measured on v5e): replacing this
+    # min/eq/where/min bookkeeping with in-kernel ``jnp.argmin`` is 40-50%
+    # SLOWER (5.44 vs 3.70 ms at [256, 1024^2]; 12.4 vs 8.9 at
+    # [250, 2048^2]) — Mosaic's argmin lowering loses to the manual
+    # two-pass trick. It is also WRONG for parity: on real TPU hardware
+    # in-kernel argmin breaks exact-distance ties by LAST index
+    # (interpret mode: first), so a reversed-input variant with ``<=``
+    # accumulation is needed for first-index semantics — measured slower
+    # still (5.26/13.9 ms). Don't revisit.
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, tile_m), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
 
