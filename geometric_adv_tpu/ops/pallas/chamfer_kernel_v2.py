@@ -39,18 +39,38 @@ def _pick_tile(size_padded: int) -> int:
     return 256
 
 
+def _pick_tile_m(m_pad: int) -> int:
+    """Column-tile for the two FORWARD kernels: full-width m wins.
+
+    Measured (same-process sweep, full kernel at [250, 2048^2], tile_n=128):
+    tile_m 2048 -> 7.19 ms vs 1024 -> 8.72 (-18%, reproduced 7.25 vs 8.80
+    in a second session) — one m-step per n-tile removes the
+    d2-accumulator revisits and the per-tile row-reduction epilogues.
+    Attack-level @[250, 2048^2], interleaved A/B x2: 6,697 -> 7,877 and
+    7,709 -> 8,356 pair-iters/s (+8..18%). VMEM stays small ([128, 2048]
+    f32 planes = 1 MB each). The BACKWARD kernels keep ``_pick_tile``:
+    their mask planes are [MT, NT]-shaped, so a 2048-wide tile would cost
+    16 MB of scoped VMEM. The min-only VALUES kernel also keeps
+    ``_pick_tile`` — see its wrapper's comment.
+    """
+    for t in (2048, 1024, 512, 256):
+        if m_pad % t == 0:
+            return t
+    return 256
+
+
 def _pick_tile_n(n_pad: int) -> int:
     """Row-tile for the full (argmin) kernel: narrow tiles pipeline better.
 
     Measured (same-process sweep, [250, 2048^2]): 1024 -> 11.8 ms,
     512 -> 10.7, 256 -> 9.6, 128 -> 8.9 ms/call — monotone, -24% total;
     confirmed in a second session's interleaved A/B (12.19 -> 8.87 ms,
-    -27%, with -11% at [256, 1024^2]: 4.54 -> 4.03 ms). The m-tile stays
-    wide (_pick_tile): narrow m measured strongly negative (1024x256:
-    8.3 ms vs 4.3 at [256, 1024^2]) — the per-tile row reductions and d2
-    revisits scale with m-steps. The min-only values kernel keeps
-    _pick_tile: its sweep showed no reproducible preference (512 vs 1024
-    flipped sign across two sessions, 2.78/2.94 then 2.60/2.51 ms).
+    -27%, with -11% at [256, 1024^2]: 4.54 -> 4.03 ms); tile_n=64 reverses
+    the trend (4.33 vs 3.82 at [256, 1024^2]; 11.0 vs 8.7 at
+    [250, 2048^2]) — 128 is the bottom of the valley. The m-tile goes the
+    OTHER way (wider is better, see _pick_tile_m): narrow m measured
+    strongly negative (1024x256: 8.3 ms vs 4.3 at [256, 1024^2]) — the
+    per-tile row reductions and d2 revisits scale with m-steps.
     """
     return 128 if n_pad % 128 == 0 else _pick_tile(n_pad)
 
@@ -179,6 +199,10 @@ def nn_distance_values_pallas(x: jax.Array, y: jax.Array):
     n_pad = _round_up(max(n, 256), 256)
     m_pad = _round_up(max(m, 256), 256)
     tile_n = _pick_tile(n_pad)
+    # narrow m measured BETTER here, unlike the full kernel: at
+    # [64, 2048^2] (1024, 1024) = 2.35 ms vs (1024, 2048) = 2.76 — without
+    # the argmin bookkeeping there are no per-tile epilogues to amortize,
+    # and the wide tile only costs pipelining depth.
     tile_m = _pick_tile(m_pad)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n), (0, 0)),
@@ -238,7 +262,7 @@ def nn_distance_pallas_v2(x: jax.Array, y: jax.Array):
     n_pad = _round_up(max(n, 256), 256)
     m_pad = _round_up(max(m, 256), 256)
     tile_n = _pick_tile_n(n_pad)
-    tile_m = _pick_tile(m_pad)
+    tile_m = _pick_tile_m(m_pad)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n), (0, 0)),
                      constant_values=_PAD_COORD)
