@@ -19,7 +19,9 @@ Checks:
    is a NORMAL f32 (round-2 ADVICE #3's FTZ hazard, fixed structurally);
    this asserts the whole biased-lane round trip on real Mosaic, which
    interpret-mode tests cannot;
-4. fused vs composed chamfer loss: same values, same input gradients;
+4. fused vs composed chamfer loss: same values, same input gradients; and
+   the backward kernel's split3_bf16 contraction == the exact-f32 one
+   (guards against XLA/Mosaic eliding the in-kernel mantissa splits);
 5. argmax-sparse encoder VJP (models/sparse_encode.py): forward
    bit-identical to the flax apply, input gradient == dense autodiff at f32
    matmul precision up to summation order;
@@ -149,6 +151,38 @@ def main() -> None:
         "fused vs composed loss gradient",
         gd <= 1e-6,
         f"max|dg|={gd:.3g}",
+    )
+
+    # --- 4b: bwd kernel split3_bf16 vs exact-f32 contraction -------------
+    # The default backward contraction runs three DEFAULT-precision bf16
+    # passes over IN-KERNEL mantissa splits (chamfer_bwd_kernel.MATMUL_IMPL;
+    # an XLA-side split is elided to zero by XLA:TPU — this check would
+    # catch any such elision creeping into the Mosaic pipeline too).
+    import geometric_adv_tpu.ops.pallas.chamfer_bwd_kernel as bwd_mod
+
+    g1 = jnp.asarray(rng.rand(b, n).astype(np.float32))
+    g2 = jnp.asarray(rng.rand(b, m).astype(np.float32))
+
+    def bwd_with(impl):
+        prev = bwd_mod.MATMUL_IMPL
+        bwd_mod.MATMUL_IMPL = impl
+        bwd_mod.chamfer_grad1_pallas.clear_cache()
+        try:
+            return np.asarray(
+                bwd_mod.chamfer_grad1_pallas(x, y, i1k, i2k, g1, g2)
+            )
+        finally:
+            bwd_mod.MATMUL_IMPL = prev
+            bwd_mod.chamfer_grad1_pallas.clear_cache()
+
+    gs = bwd_with("split3_bf16")
+    gh = bwd_with("highest_f32")
+    scale = max(float(np.max(np.abs(gh))), 1e-20)
+    rel = float(np.max(np.abs(gs - gh))) / scale
+    _check(
+        "bwd kernel split3_bf16 vs highest_f32 (<=5e-6 rel)",
+        rel <= 5e-6,
+        f"max rel={rel:.3g}",
     )
 
     # --- 5: sparse encoder VJP vs dense autodiff -------------------------

@@ -15,10 +15,13 @@ identities remove the data-dependent addressing entirely:
 Two kernel generations implement those contractions:
 
 - ``chamfer_grad1_pallas`` (the default): two [8, MT] @ [MT, NT] matmuls
-  per tile against one-hot masks, ``Precision.HIGHEST`` for exact f32.
-  Only ~6% MXU row occupancy, but measured consistently ~12% faster than
-  the VPU variant at [256, 1024^2] (3.6 vs 4.1 and 4.2 vs 4.7 ms/call in
-  two interleaved A/Bs).
+  per tile against one-hot masks. Only ~6% MXU row occupancy, but measured
+  consistently ~12% faster than the VPU variant at [256, 1024^2] (3.6 vs
+  4.1 and 4.2 vs 4.7 ms/call in two interleaved A/Bs). The contraction
+  precision strategy is ``MATMUL_IMPL`` (see below): the round-3 default
+  runs three DEFAULT-precision bf16 passes over in-kernel mantissa splits
+  (-33% at [250, 2048^2] vs f32 HIGHEST, error within the gradient
+  ledger); ``"highest_f32"`` restores the bit-level round-2 behavior.
 - ``chamfer_grad1_pallas_vpu``: the one-hot contraction as a masked
   lane-reduction — ``sum over j of where(mask, val_j, 0)`` — exact f32 with
   no matmul passes. Kept for A/B and as the pattern reference; both
@@ -42,6 +45,60 @@ from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
     _round_up,
 )
 
+# One-hot matmul precision strategy (round-3 measurement):
+#
+# "split3_bf16" (default) — the value operands are split INSIDE the kernel
+#   into three bf16 planes (v ~= q1 + q2*2^-8 + q3*2^-16, power-of-two
+#   scaled so each part uses the full bf16 mantissa) and contracted with the
+#   bf16 one-hot mask in three DEFAULT-precision MXU passes. Every product
+#   is exact (the mask is exactly 0/1 in bf16; bf16 x bf16 products are
+#   exact in the MXU's f32 accumulator), so the result differs from the
+#   f32-HIGHEST contraction only by f32 summation order: measured max rel
+#   error 1.3-1.6e-6 at the production shapes — inside the 2.6e-6 gradient
+#   ledger (DESIGN.md §6). Measured 6.30 -> 4.25 ms/call at [250, 2048^2]
+#   (-33%) and 3.19 -> 2.72 at [256, 1024^2] (-15%): HIGHEST's f32
+#   emulation was over half the matmul cost (a DEFAULT-precision timing
+#   floor measured 2.93 ms @2048).
+#
+#   The split MUST happen inside the kernel: an XLA-side
+#   ``a - convert(convert(a, bf16), f32)`` prep is algebraically ELIDED to
+#   zero by XLA:TPU (measured: all low parts exactly 0 on device, correct
+#   in interpret mode), which silently degrades the whole contraction to
+#   one bf16 pass.
+#
+# "highest_f32" — the original exact-f32 contraction, kept as the escape
+#   hatch for strict-replay pipelines (--matmul_precision float32 flows
+#   elsewhere; this flag is the kernel-level equivalent).
+MATMUL_IMPL = "split3_bf16"
+
+_SPLIT_SCALES = (1.0, 1.0 / 256.0, 1.0 / 65536.0)
+
+
+def _split3(vals):
+    """f32 [8, MT] -> three bf16 planes: vals ~= q1 + q2/2^8 + q3/2^16."""
+    q1 = vals.astype(jnp.bfloat16)
+    s1 = vals - q1.astype(jnp.float32)
+    q2 = (s1 * 256.0).astype(jnp.bfloat16)
+    s2 = s1 - q2.astype(jnp.float32) * (1.0 / 256.0)
+    q3 = (s2 * 65536.0).astype(jnp.bfloat16)
+    return q1, q2, q3
+
+
+def _onehot_contract(vals, mask_f32, impl):
+    """dot(vals [8, MT], one-hot mask [MT, NT]) under the impl strategy."""
+    if impl == "highest_f32":
+        return jnp.dot(
+            vals, mask_f32,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    mask = mask_f32.astype(jnp.bfloat16)
+    acc = jnp.zeros((vals.shape[0], mask.shape[1]), jnp.float32)
+    for q, sc in zip(_split3(vals), _SPLIT_SCALES):
+        d = jnp.dot(q, mask, preferred_element_type=jnp.float32)
+        acc = acc + (d if sc == 1.0 else d * sc)
+    return acc
+
 
 def _bwd_kernel(
     x1t_ref,  # [8, NT]  rows 0-2: x1^T          (one n-tile via grid)
@@ -51,7 +108,7 @@ def _bwd_kernel(
     b2_ref,  # [8, m]  rows 0-2: 2*g2*x2^T, row 3: 2*g2
     idx2_ref,  # [m, 1]
     out_ref,  # [8, NT]  rows 0-2: grad1^T
-    *, m, tile_n, tile_m,
+    *, m, tile_n, tile_m, impl,
 ):
     # n-tiles are grid steps so idx1/g1/x1t slices arrive at lane offset 0
     # (Mosaic cannot sublane-broadcast a lane-offset row vector).
@@ -65,19 +122,11 @@ def _bwd_kernel(
         msl = slice(mi * tile_m, (mi + 1) * tile_m)
         # gather mask^T [MT, NT]: idx1[base+k] == mi*TILE_M + j
         mask_a = (idx1_row == mi * tile_m + row_ids).astype(jnp.float32)
-        acc_a = acc_a + jnp.dot(
-            x2t_ref[0][:, msl], mask_a,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        acc_a = acc_a + _onehot_contract(x2t_ref[0][:, msl], mask_a, impl)
         # scatter mask^T [MT, NT]: idx2[mi*TILE_M + j] == base + k
         idx2_col = idx2_ref[0][msl, :]  # [MT, 1]
         mask_b = (idx2_col == base + col_ids).astype(jnp.float32)
-        acc_b = acc_b + jnp.dot(
-            b2_ref[0][:, msl], mask_b,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        acc_b = acc_b + _onehot_contract(b2_ref[0][:, msl], mask_b, impl)
     x1t = x1t_ref[0]  # [8, NT]
     g1row = g1_ref[0]  # [1, NT]
     cnt = acc_b[3:4, :]  # [1, NT] = sum of 2*g2 scattered here
@@ -278,8 +327,10 @@ def chamfer_grad1_pallas(xyz1, xyz2, idx1, idx2, g1, g2):
     i1row = i1[:, None, :]  # [b, 1, n_pad]
     i2col = i2[:, :, None]  # [b, m_pad, 1]
 
+    # MATMUL_IMPL is read at trace time; flip it before first use (tests
+    # use .clear_cache() when they A/B the two implementations).
     kernel = functools.partial(
-        _bwd_kernel, m=m_pad, tile_n=tile_n, tile_m=tile_m
+        _bwd_kernel, m=m_pad, tile_n=tile_n, tile_m=tile_m, impl=MATMUL_IMPL
     )
     vm = pltpu.VMEM
     out = pl.pallas_call(

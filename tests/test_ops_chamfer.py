@@ -199,3 +199,52 @@ def test_fused_loss_kernel_2n_interpret_mode(rng):
     np.testing.assert_array_equal(loss_f, loss_c)
     np.testing.assert_allclose(np.asarray(g1f), np.asarray(g1c), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2c), atol=1e-6)
+
+
+def test_bwd_kernel_split3_interpret_mode(rng):
+    """The one-hot-matmul backward's split3_bf16 contraction (the round-3
+    default, ops/pallas/chamfer_bwd_kernel.py) matches both the exact-f32
+    "highest_f32" contraction and the reference scatter-add formula, run in
+    Pallas interpreter mode on CPU. The three bf16 mantissa-split passes
+    make every mask product exact, so agreement is f32-summation-order
+    level (the on-device bound is pinned by cli/verify_tpu.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import geometric_adv_tpu.ops.pallas.chamfer_bwd_kernel as bwd_mod
+
+    x1 = rng.randn(2, 70, 3).astype(np.float32)
+    x2 = rng.randn(2, 50, 3).astype(np.float32)
+    g1 = rng.rand(2, 70).astype(np.float32)
+    g2 = rng.rand(2, 50).astype(np.float32)
+    d1, i1, d2, i2 = nn_distance(x1, x2, method="direct")
+    i1 = np.asarray(i1)
+    i2 = np.asarray(i2)
+
+    def run(impl):
+        orig = bwd_mod.MATMUL_IMPL
+        bwd_mod.MATMUL_IMPL = impl
+        bwd_mod.chamfer_grad1_pallas.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                return np.asarray(
+                    bwd_mod.chamfer_grad1_pallas(x1, x2, i1, i2, g1, g2)
+                )
+        finally:
+            bwd_mod.MATMUL_IMPL = orig
+            bwd_mod.chamfer_grad1_pallas.clear_cache()
+
+    out_split = run("split3_bf16")
+    out_highest = run("highest_f32")
+
+    # reference formula: t1 - scatter_add(t2, idx2) per
+    # external/structural_losses/tf_nndistance.cpp:130-163
+    nn12 = np.take_along_axis(x2, i1[..., None], axis=-2)
+    t1 = 2.0 * g1[..., None] * (x1 - nn12)
+    ref = t1.copy()
+    for b in range(x1.shape[0]):
+        for j in range(x2.shape[1]):
+            ref[b, i2[b, j]] -= 2.0 * g2[b, j] * (
+                x2[b, j] - x1[b, i2[b, j]]
+            )
+    np.testing.assert_allclose(out_split, out_highest, atol=2e-6)
+    np.testing.assert_allclose(out_split, ref, atol=2e-6)
