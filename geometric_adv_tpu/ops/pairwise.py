@@ -91,8 +91,13 @@ def chamfer_distance_matrix(
         method: pairwise-distance formulation ("auto" picks the fused Pallas
             kernel on TPU / "direct" XLA elsewhere).
     """
-    pcs = np.asarray(point_clouds, np.float32)
-    n_total = len(pcs)
+    # A jax.Array input is used as-is (already device-resident — e.g. a
+    # dataset kept on device across stages); host inputs upload once below.
+    if isinstance(point_clouds, jax.Array):
+        pcs = point_clouds
+    else:
+        pcs = np.asarray(point_clouds, np.float32)
+    n_total = pcs.shape[0]
     out = np.zeros((n_total, n_total), np.float32)
 
     # Upper-triangle pair list (matrix is symmetric; the reference computes
@@ -108,7 +113,7 @@ def chamfer_distance_matrix(
     # clouds upload once; per chunk only the [nb, kb] index arrays cross the
     # host boundary (through remote relays the per-block src/tgt uploads
     # were the round-1 bottleneck).
-    pcs_dev = jnp.asarray(pcs)
+    pcs_dev = jnp.asarray(pcs, jnp.float32)
     if mesh is not None:
         from geometric_adv_tpu.parallel.mesh import replicated
 

@@ -35,6 +35,12 @@ def test_bench_attack_and_extras_tiny(monkeypatch):
     evals = bench.bench_chamfer_matrix()
     assert np.isfinite(evals) and evals > 0
 
+    monkeypatch.setattr(bench, "TRAIN_CLOUDS", 8)
+    monkeypatch.setattr(bench, "TRAIN_POINTS", 16)
+    monkeypatch.setattr(bench, "TRAIN_BATCH", 4)
+    train_rate = bench.bench_train_ae()
+    assert np.isfinite(train_rate) and train_rate > 0
+
 
 def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "N_POINTS", 32)
@@ -46,6 +52,9 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "N_POINTS_REF", 48)
     monkeypatch.setattr(bench, "BATCH_PAIRS_REF", 4)
     monkeypatch.setattr(bench, "NUM_ITERS_REF", 3)
+    monkeypatch.setattr(bench, "TRAIN_CLOUDS", 8)
+    monkeypatch.setattr(bench, "TRAIN_POINTS", 16)
+    monkeypatch.setattr(bench, "TRAIN_BATCH", 4)
     monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
     monkeypatch.setattr(bench, "probe_chip_state", lambda: 1.0)
     monkeypatch.setattr(bench, "probe_chip_state_vpu", lambda: 1.0)

@@ -327,3 +327,103 @@ def test_non_denoising_augmented_gt_is_the_augmented_batch(tmp_path):
     np.testing.assert_allclose(feed, original + mu, atol=1e-6)
     manual = float(np.mean(trainer.get_loss_per_pc(feed, feed)))
     np.testing.assert_allclose(ev_loss, manual, rtol=1e-6)
+
+
+def test_from_reference_txt(tmp_path):
+    # Emulate the reference's dump format byte-for-byte: sorted keys,
+    # "%30s: %s" per line, callables dumped by __name__, np scalars via str()
+    # (reference: src/autoencoder.py:62-73). Victim + attack-stage fields.
+    ref_fields = {
+        "n_input": [2048, 3],
+        "n_output": [2048, 3],
+        "is_denoising": False,
+        "loss": "chamfer",
+        "encoder": "encoder_with_convs_and_symmetry",
+        "decoder": "decoder_with_fc_only",
+        "encoder_args": {
+            "n_filters": [64, 128, 128, 256, 128],
+            "filter_sizes": [1],
+            "strides": [1],
+            "b_norm": True,
+            "verbose": True,
+            "b_norm_decay": 1.0,
+            "return_layer_before_symmetry": False,
+        },
+        "decoder_args": {
+            "layer_sizes": [256, 256, 6144],
+            "b_norm": False,
+            "b_norm_finish": False,
+            "verbose": True,
+            "b_norm_decay": 1.0,
+            "b_norm_decay_finish": 1.0,
+        },
+        "batch_size": 10,
+        "learning_rate": 0.01,
+        "loss_display_step": 1,
+        "saver_step": 50,
+        "train_dir": "log/autoencoder_victim/eval/output_space_attack",
+        "gauss_augment": None,
+        "z_rotate": False,
+        "saver_max_to_keep": None,
+        "training_epochs": 500,
+        "debug": False,
+        "latent_vs_recon": 1.0,
+        "n_z": None,
+        "consistent_io": None,
+        "experiment_name": "adversary",
+        "ae_dir": "log/autoencoder_victim",
+        "ae_name": "autoencoder",
+        "ae_restore_epoch": 500,
+        "loss_adv_type": "latent",
+        "loss_dist_type": "chamfer",
+        "dist_weight_list": [150.0],
+        "max_point_pert_weight": 0.0,
+        "max_point_dist_weight": 0.0,
+        "target_pc_idx_type": "chamfer_nn_complete",
+        "num_pc_for_attack": 25,
+        "num_pc_for_target": 5,
+        "correct_pred_only": False,
+        "num_iterations": 500,
+        "num_iterations_thresh": 400,
+    }
+    path = tmp_path / "attack_configuration.txt"
+    lines = [
+        "%30s: %s" % (k, ref_fields[k]) for k in sorted(ref_fields)
+    ]
+    path.write_text("\n".join(lines) + "\n")
+
+    conf = Configuration.from_reference_txt(str(path))
+
+    # architecture translated from the tflearn arg dicts
+    assert conf.encoder_filters == [64, 128, 128, 256, 128]
+    assert conf.bneck_size == 128
+    assert conf.decoder_sizes == [256, 256]  # final n*3 layer is implicit
+    assert conf.b_norm_decay == 1.0  # the frozen-BN attack setting
+    # 1:1 fields
+    assert conf.n_input == [2048, 3]
+    assert conf.loss == "chamfer"
+    assert conf.batch_size == 10
+    assert conf.learning_rate == 0.01
+    assert conf.training_epochs == 500
+    assert conf.is_denoising is False and conf.z_rotate is False
+    assert conf.gauss_augment is None
+    # attack-stage fields
+    assert conf.loss_adv_type == "latent"
+    assert conf.dist_weight_list == [150.0]
+    assert conf.num_iterations == 500
+    assert conf.num_iterations_thresh == 400
+    assert conf.ae_restore_epoch == 500
+    assert conf.experiment_name == "adversary"
+    # graph-building leftovers preserved, not dropped
+    assert conf.extra["reference_encoder"] == "encoder_with_convs_and_symmetry"
+    assert conf.extra["reference_decoder_args"]["layer_sizes"] == [256, 256, 6144]
+
+    # the imported config drives the real model constructor
+    trainer = AETrainer(
+        Configuration.from_dict(
+            {**conf.to_dict(), "n_input": [64, 3], "encoder_filters": [16, 16],
+             "bneck_size": 16, "decoder_sizes": [32], "batch_size": 4,
+             "saver_step": None, "train_dir": None}
+        )
+    )
+    assert trainer.state is not None
