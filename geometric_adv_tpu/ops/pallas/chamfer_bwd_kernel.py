@@ -71,6 +71,14 @@ from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
 #   elsewhere; this flag is the kernel-level equivalent).
 MATMUL_IMPL = "split3_bf16"
 
+# Documented NEGATIVE result (2026-08-17, interleaved on-device A/B): building
+# the one-hot masks directly in bf16 (0/1 exact; halves the mask vregs before
+# the split3 contraction) measured SLOWER than select-to-f32 + convert —
+# 3.67 vs 3.63 ms/call at [250, 2048^2] and 1.79 vs 1.67 at [256, 1024^2]
+# (results bit-equal). Mosaic pipelines the f32 select better than the
+# half-vreg bf16 select here; keep the f32 build.
+MASK_DIRECT_BF16 = False
+
 _SPLIT_SCALES = (1.0, 1.0 / 256.0, 1.0 / 65536.0)
 
 
@@ -84,20 +92,31 @@ def _split3(vals):
     return q1, q2, q3
 
 
-def _onehot_contract(vals, mask_f32, impl):
-    """dot(vals [8, MT], one-hot mask [MT, NT]) under the impl strategy."""
+def _onehot_contract(vals, mask, impl):
+    """dot(vals [8, MT], one-hot mask [MT, NT]) under the impl strategy.
+
+    ``mask`` arrives in the dtype `_mask_dtype(impl)` produced — f32 for the
+    HIGHEST contraction, bf16 (exact for 0/1) when split3 + direct build.
+    """
     if impl == "highest_f32":
         return jnp.dot(
-            vals, mask_f32,
+            vals, mask,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    mask = mask_f32.astype(jnp.bfloat16)
+    if mask.dtype != jnp.bfloat16:
+        mask = mask.astype(jnp.bfloat16)
     acc = jnp.zeros((vals.shape[0], mask.shape[1]), jnp.float32)
     for q, sc in zip(_split3(vals), _SPLIT_SCALES):
         d = jnp.dot(q, mask, preferred_element_type=jnp.float32)
         acc = acc + (d if sc == 1.0 else d * sc)
     return acc
+
+
+def _mask_dtype(impl):
+    if impl != "highest_f32" and MASK_DIRECT_BF16:
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _bwd_kernel(
@@ -118,14 +137,15 @@ def _bwd_kernel(
     idx1_row = idx1_ref[0]  # [1, NT]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
+    mdt = _mask_dtype(impl)
     for mi in range(m // tile_m):
         msl = slice(mi * tile_m, (mi + 1) * tile_m)
         # gather mask^T [MT, NT]: idx1[base+k] == mi*TILE_M + j
-        mask_a = (idx1_row == mi * tile_m + row_ids).astype(jnp.float32)
+        mask_a = (idx1_row == mi * tile_m + row_ids).astype(mdt)
         acc_a = acc_a + _onehot_contract(x2t_ref[0][:, msl], mask_a, impl)
         # scatter mask^T [MT, NT]: idx2[mi*TILE_M + j] == base + k
         idx2_col = idx2_ref[0][msl, :]  # [MT, 1]
-        mask_b = (idx2_col == base + col_ids).astype(jnp.float32)
+        mask_b = (idx2_col == base + col_ids).astype(mdt)
         acc_b = acc_b + _onehot_contract(b2_ref[0][:, msl], mask_b, impl)
     x1t = x1t_ref[0]  # [8, NT]
     g1row = g1_ref[0]  # [1, NT]

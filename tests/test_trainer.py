@@ -427,3 +427,22 @@ def test_from_reference_txt(tmp_path):
         )
     )
     assert trainer.state is not None
+
+
+def test_interpolate(tmp_path):
+    # reference: src/autoencoder.py:178-189 — linear latent interpolation
+    # with steps+2 points whose endpoints decode z(x) and z(y) exactly.
+    conf = tiny_conf(tmp_path)
+    trainer = AETrainer(conf)
+    data = make_data(n=4)
+    x, y = data.point_clouds[0], data.point_clouds[1]
+
+    steps = 3
+    out = trainer.interpolate(x, y, steps)
+    assert out.shape == (steps + 2, conf.n_points, 3)
+
+    z = trainer.transform(np.stack([x, y]))
+    np.testing.assert_allclose(out[0], trainer.decode(z[0])[0], atol=1e-6)
+    np.testing.assert_allclose(out[-1], trainer.decode(z[1])[0], atol=1e-6)
+    mid = trainer.decode((0.5 * z[0] + 0.5 * z[1])[None])
+    np.testing.assert_allclose(out[(steps + 2) // 2], mid[0], atol=1e-6)
