@@ -277,6 +277,11 @@ def test_chamfer_distance_matrix(rng):
     mat2 = chamfer_distance_matrix(pcs, pair_block=8, blocks_per_chunk=2)
     np.testing.assert_allclose(mat2, mat, atol=0)
 
+    # an already-device-resident cloud set (how a pipeline stage that keeps
+    # its dataset on device calls it) must produce the identical matrix
+    mat3 = chamfer_distance_matrix(jax.device_put(pcs), pair_block=16)
+    np.testing.assert_allclose(mat3, mat, atol=0)
+
 
 def test_chamfer_distance_matrix_sharded(rng):
     pcs = rng.rand(10, 16, 3).astype(np.float32)
