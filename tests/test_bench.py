@@ -41,6 +41,11 @@ def test_bench_attack_and_extras_tiny(monkeypatch):
     train_rate = bench.bench_train_ae()
     assert np.isfinite(train_rate) and train_rate > 0
 
+    monkeypatch.setattr(bench, "EMD_BATCH", 2)
+    monkeypatch.setattr(bench, "EMD_POINTS", 16)
+    emd_rate = bench.bench_emd_train_loss()
+    assert np.isfinite(emd_rate) and emd_rate > 0
+
 
 def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "N_POINTS", 32)
@@ -55,6 +60,8 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "TRAIN_CLOUDS", 8)
     monkeypatch.setattr(bench, "TRAIN_POINTS", 16)
     monkeypatch.setattr(bench, "TRAIN_BATCH", 4)
+    monkeypatch.setattr(bench, "EMD_BATCH", 2)
+    monkeypatch.setattr(bench, "EMD_POINTS", 16)
     monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
     monkeypatch.setattr(bench, "probe_chip_state", lambda: 1.0)
     monkeypatch.setattr(bench, "probe_chip_state_vpu", lambda: 1.0)
@@ -69,3 +76,29 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     rec = json.loads(out[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline", "extras"}
     assert rec["value"] > 0
+
+
+def test_retry_recovers_and_propagates(monkeypatch):
+    import time as _time
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("UNAVAILABLE")
+        return "ok"
+
+    assert bench._retry(flaky, "flaky", delays=(1, 1, 1)) == "ok"
+    assert calls["n"] == 3
+
+    def always_fails():
+        raise RuntimeError("still down")
+
+    # the attempt AFTER the backoff ladder propagates the error
+    import pytest
+
+    with pytest.raises(RuntimeError, match="still down"):
+        bench._retry(always_fails, "dead", delays=(1,))
