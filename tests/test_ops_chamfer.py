@@ -248,3 +248,55 @@ def test_bwd_kernel_split3_interpret_mode(rng):
             )
     np.testing.assert_allclose(out_split, out_highest, atol=2e-6)
     np.testing.assert_allclose(out_split, ref, atol=2e-6)
+
+
+def test_v2_forward_kernel_interpret_mode(rng, monkeypatch):
+    """The v2 argmin forward + min-only values kernels vs the XLA-direct
+    path, in Pallas interpreter mode on CPU, pinning the kernel MATH
+    (distance arithmetic, within-tile first-occurrence tie selection).
+
+    Single-tile only: the production grid accumulates d2 by revisiting its
+    output block once per n-tile, which real TPU grids support but the
+    interpreter's revisit checker rejects (revisits are only tolerated on
+    the fastest grid dim) — so tiles are forced to the full padded extent
+    here, and the cross-tile accumulation/tie path is covered on hardware
+    by cli/verify_tpu.py instead.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geometric_adv_tpu.ops import pallas as _  # noqa: F401
+    from geometric_adv_tpu.ops.chamfer import nn_distance
+    from geometric_adv_tpu.ops.pallas import chamfer_kernel_v2 as k
+
+    monkeypatch.setattr(k, "_pick_tile_n", lambda n_pad: n_pad)
+    monkeypatch.setattr(k, "_pick_tile_m", lambda m_pad: m_pad)
+    monkeypatch.setattr(k, "_pick_tile", lambda size: size)
+    k.nn_distance_pallas_v2.clear_cache()
+    k.nn_distance_values_pallas.clear_cache()
+
+    x = (rng.rand(2, 300, 3) - 0.5).astype(np.float32)
+    y = (rng.rand(2, 520, 3) - 0.5).astype(np.float32)
+    # exact-duplicate y points: the argmin must keep the FIRST occurrence
+    y[:, 519] = y[:, 7]
+    # and a duplicate x pair for the d2 direction
+    x[:, 299] = x[:, 3]
+
+    d1_ref, i1_ref, d2_ref, i2_ref = nn_distance(x, y)
+
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            d1, i1, d2, i2 = k.nn_distance_pallas_v2(x, y)
+            dv1, dv2 = k.nn_distance_values_pallas(x, y)
+    finally:
+        k.nn_distance_pallas_v2.clear_cache()
+        k.nn_distance_values_pallas.clear_cache()
+
+    # values: 1e-8 bar — XLA:CPU contracts the interpreter's mul/add chain
+    # into FMAs differently than the direct path (~2e-9); on TPU hardware
+    # the two are bit-equal (verify_tpu pins |dd| = 0)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref), atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1_ref))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2_ref))
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(d1_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(d2_ref), atol=1e-8)
