@@ -70,6 +70,14 @@ TRAIN_CLOUDS = 2000
 TRAIN_POINTS = 2048
 TRAIN_BATCH = 50
 
+# EMD training-loss throughput sample. NOTE a capability gap vs the
+# reference: its CUDA approx_match is hard-limited to n<=4096, m<=1024
+# (external/structural_losses/approxmatch.cu:1-3), so the reference cannot
+# train an EMD AE at the paper's own 2048-point clouds; the lax.fori_loop
+# formulation has no size limit.
+EMD_BATCH = 50
+EMD_POINTS = 2048
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -432,6 +440,52 @@ def bench_train_ae():
     return float(np.median(rates))
 
 
+def bench_emd_train_loss():
+    """EMD (approx-match) training-loss throughput, clouds/s/chip.
+
+    Times value_and_grad of the fused EMD loss (ops/emd.py::emd_loss_fused —
+    the AE training path: per-round matvec decomposition, no [b,n,m] match
+    residual) at [EMD_BATCH, EMD_POINTS, EMD_POINTS] — a shape the
+    reference's CUDA kernel cannot run at all (m<=1024 hard limit).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_adv_tpu.ops.emd import emd_loss_fused
+
+    b, n = EMD_BATCH, EMD_POINTS
+
+    @jax.jit
+    def loss_and_grad(pred, gt):
+        # mean over clouds, like the AE training loss
+        return jax.value_and_grad(
+            lambda p: jnp.mean(emd_loss_fused(p, gt))
+        )(pred)
+
+    def stage(seed):
+        rng = np.random.RandomState(seed)
+        pred = jax.device_put(rng.rand(b, n, 3).astype(np.float32) - 0.5)
+        gt = jax.device_put(rng.rand(b, n, 3).astype(np.float32) - 0.5)
+        float(np.asarray(pred[0, 0, 0])) + float(np.asarray(gt[0, 0, 0]))
+        return pred, gt
+
+    n_dev = len(jax.devices())
+    pred0, gt0 = stage(0)
+    v, g = loss_and_grad(pred0, gt0)  # compile + warmup
+    float(v) + float(jnp.sum(g))
+
+    rates = []
+    for rep in range(TIMED_REPS):
+        pred, gt = stage(rep + 1)
+        t0 = time.time()
+        v, g = loss_and_grad(pred, gt)
+        float(v) + float(jnp.sum(g))  # host readback ends the region
+        dt = time.time() - t0
+        rates.append(b / dt / max(n_dev, 1))
+        _log(f"bench: emd rep {rep + 1}: {rates[-1]:.1f} clouds/s")
+    return float(np.median(rates))
+
+
 # Attack rates measured across round-2/3 sessions spanned 13.5k-19.6k on the
 # identical program (26.5-27.9k after the round-3 sparse-VJP + tile retune);
 # if an attempt lands below the >=20x north-star bar (25k), the chip/relay
@@ -445,6 +499,18 @@ RETRY_SLEEP_S = 90
 
 def main():
     extras = {}
+
+    # Backend warmup with retry: the relay's backend INIT itself can raise
+    # UNAVAILABLE (observed 2026-08-17: a fresh process hung ~25 min in the
+    # grant wait, then failed init). Every later jax.devices() call in the
+    # metric functions would re-raise unguarded, sinking the round's record
+    # — so the first init is retried here with long backoff.
+    def _warm_backend():
+        import jax
+
+        return len(jax.devices())
+
+    _retry(_warm_backend, "backend init", delays=(30, 90, 180, 300))
 
     def run_probes(tag):
         try:
@@ -542,6 +608,12 @@ def main():
         extras["train_samples_per_sec_2048pts"] = round(bench_train_ae(), 1)
     except Exception as e:
         _log(f"bench: train throughput metric failed: {type(e).__name__}: {e}")
+    try:
+        extras["emd_train_loss_clouds_per_sec_2048pts"] = round(
+            bench_emd_train_loss(), 1
+        )
+    except Exception as e:
+        _log(f"bench: emd metric failed: {type(e).__name__}: {e}")
 
     flops = pair_iters_per_sec * FLOPS_PER_PAIR_ITER
     extras["est_tflops"] = round(flops / 1e12, 2)
