@@ -20,6 +20,9 @@ Run any stage as ``python -m geometric_adv_tpu.cli.<stage> [flags]``:
     run_classifier         classify reconstructions per data_type
     evaluate_classifier    hit-target / avoid-source stats
     train_transfer         AtlasNet/FoldingNet/PointNet transfer AEs
+    tst_transfer           transfer-AE clean-test-set eval artifacts
     run_transfer           reconstruct adv inputs with a transfer AE
     evaluate_transfer      transferability stats
+    import_reference_ckpt  convert a reference TF1 AE checkpoint to orbax
+    verify_tpu             on-device kernel/numerics checks (TPU hosts)
 """

@@ -1,0 +1,289 @@
+"""Reference TF1-checkpoint importer (train/import_tf.py).
+
+Two layers of coverage:
+
+- pure-numpy mapping tests (no TF): the name-mapping produces exactly the
+  tree layout ``PointNetAE.init`` produces, values land on the right
+  leaves, and the error paths fire;
+- a real TF round trip (skipped when `tensorflow` is absent): variables
+  with the reference's names (reference: src/encoders_decoders.py:40-52,
+  101-141; src/pointnet_ae.py:35; src/neural_net.py:22-25) are written with
+  ``tf.compat.v1.train.Saver`` — the exact on-disk format of
+  download_models_and_data.sh's pretrained models — imported, restored via
+  ``AETrainer.restore``, and the restored forward is checked against an
+  independent numpy implementation of the reference architecture.
+"""
+
+import numpy as np
+import pytest
+
+from geometric_adv_tpu.train import Configuration
+from geometric_adv_tpu.train.import_tf import (
+    detect_model_scope,
+    import_reference_checkpoint,
+    map_reference_ae_variables,
+)
+
+ENC = (8, 12, 6)  # last = bneck
+DEC = (10, 5 * 3)  # final layer = n_points*3
+N_POINTS = 5
+
+
+def small_conf(train_dir=None):
+    return Configuration(
+        n_input=[N_POINTS, 3],
+        bneck_size=ENC[-1],
+        encoder_filters=list(ENC),
+        decoder_sizes=list(DEC[:-1]),
+        batch_size=2,
+        train_dir=train_dir,
+        saver_step=None,
+    )
+
+
+def make_ref_vars(scope="autoencoder", seed=0, conv_rank4=True, epoch=500.0):
+    """A synthetic reference-named variable dict for the small victim arch."""
+    rng = np.random.RandomState(seed)
+    v = {}
+    c_in = 3
+    for i, width in enumerate(ENC):
+        base = f"{scope}/encoder_conv_layer_{i}"
+        w = rng.randn(c_in, width).astype(np.float32) * 0.5
+        # tflearn conv_1d stores filters 4-D [1, filter_size=1, in, out]
+        v[f"{base}/W"] = w.reshape((1, 1, c_in, width)) if conv_rank4 else w
+        v[f"{base}/b"] = rng.randn(width).astype(np.float32) * 0.1
+        v[f"{base}_bnorm/beta"] = rng.randn(width).astype(np.float32) * 0.1
+        v[f"{base}_bnorm/gamma"] = (
+            1.0 + rng.randn(width).astype(np.float32) * 0.1
+        )
+        v[f"{base}_bnorm/moving_mean"] = (
+            rng.randn(width).astype(np.float32) * 0.1
+        )
+        v[f"{base}_bnorm/moving_variance"] = (
+            1.0 + rng.rand(width).astype(np.float32)
+        )
+        c_in = width
+    for j, width in enumerate(DEC):
+        base = f"{scope}/decoder_fc_{j}"
+        v[f"{base}/W"] = rng.randn(c_in, width).astype(np.float32) * 0.5
+        v[f"{base}/b"] = rng.randn(width).astype(np.float32) * 0.1
+        c_in = width
+    if epoch is not None:
+        v[f"{scope}/epoch"] = np.float32(epoch)
+    # optimizer slots must be ignored by the mapping
+    v[f"{scope}/encoder_conv_layer_0/W/Adam"] = np.zeros(
+        (1, 1, 3, ENC[0]), np.float32
+    )
+    v["beta1_power"] = np.float32(0.9)
+    return v
+
+
+def numpy_reference_forward(v, x, scope="autoencoder"):
+    """The reference AE forward (inference-mode BN), straight numpy."""
+    h = x
+    for i in range(len(ENC)):
+        base = f"{scope}/encoder_conv_layer_{i}"
+        h = h @ v[f"{base}/W"].reshape(v[f"{base}/W"].shape[-2:]) + v[
+            f"{base}/b"
+        ]
+        mean = v[f"{base}_bnorm/moving_mean"]
+        var = v[f"{base}_bnorm/moving_variance"]
+        h = (h - mean) / np.sqrt(var + 1e-5) * v[f"{base}_bnorm/gamma"] + v[
+            f"{base}_bnorm/beta"
+        ]
+        h = np.maximum(h, 0.0)
+    z = h.max(axis=-2)
+    h = z
+    for j in range(len(DEC)):
+        base = f"{scope}/decoder_fc_{j}"
+        h = h @ v[f"{base}/W"] + v[f"{base}/b"]
+        if j < len(DEC) - 1:
+            h = np.maximum(h, 0.0)
+    return h.reshape(x.shape[:-2] + (N_POINTS, 3)), z
+
+
+def test_mapping_matches_model_tree_and_values():
+    import jax
+
+    from geometric_adv_tpu.train.trainer import AETrainer
+
+    v = make_ref_vars()
+    params, batch_stats, epoch = map_reference_ae_variables(v)
+    assert epoch == 500
+
+    ref = AETrainer(small_conf())
+    shapes = lambda t: jax.tree.map(lambda a: tuple(np.shape(a)), t)  # noqa: E731
+    assert shapes(params) == shapes(jax.device_get(ref.state.params))
+    assert shapes(batch_stats) == shapes(
+        jax.device_get(ref.state.batch_stats)
+    )
+    # values land on the right leaves (kernel squeezed from the 4-D filter)
+    np.testing.assert_array_equal(
+        params["encoder"]["conv_1"]["kernel"],
+        v["autoencoder/encoder_conv_layer_1/W"][0, 0],
+    )
+    np.testing.assert_array_equal(
+        params["encoder"]["bn_2"]["scale"],
+        v["autoencoder/encoder_conv_layer_2_bnorm/gamma"],
+    )
+    np.testing.assert_array_equal(
+        batch_stats["encoder"]["bn_0"]["var"],
+        v["autoencoder/encoder_conv_layer_0_bnorm/moving_variance"],
+    )
+    np.testing.assert_array_equal(
+        params["decoder"]["fc_1"]["bias"], v["autoencoder/decoder_fc_1/b"]
+    )
+
+
+def test_mapped_forward_equals_numpy_reference():
+    v = make_ref_vars(seed=3)
+    params, batch_stats, _ = map_reference_ae_variables(v)
+
+    from geometric_adv_tpu.train.trainer import AETrainer
+
+    trainer = AETrainer(small_conf())
+    trainer.state = trainer.state.replace(
+        params=params, batch_stats=batch_stats
+    )
+    x = np.random.RandomState(7).rand(4, N_POINTS, 3).astype(np.float32)
+    recon = np.asarray(trainer.get_reconstructions(x, batch_size=4))
+    z = np.asarray(trainer.get_latent_vectors(x, batch_size=4))
+    want_recon, want_z = numpy_reference_forward(v, x)
+    np.testing.assert_allclose(z, want_z, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(recon, want_recon, rtol=2e-5, atol=2e-5)
+
+
+def test_scope_detection_and_errors():
+    v = make_ref_vars(scope="single_class_ae")
+    assert detect_model_scope(v) == "single_class_ae"
+    params, _, _ = map_reference_ae_variables(v, ae_name="single_class_ae")
+    assert set(params) == {"encoder", "decoder"}
+
+    with pytest.raises(ValueError, match="not a reference"):
+        detect_model_scope({"foo/W": np.zeros((1,))})
+    with pytest.raises(ValueError, match="wrong scope"):
+        map_reference_ae_variables(v, ae_name="nope")
+    # non-unit filter dims must be rejected, not silently reshaped
+    bad = make_ref_vars()
+    bad["autoencoder/encoder_conv_layer_0/W"] = np.zeros(
+        (2, 1, 3, ENC[0]), np.float32
+    )
+    with pytest.raises(ValueError, match="unit filter"):
+        map_reference_ae_variables(bad)
+
+
+def _write_tf1_checkpoint(tf, v, prefix):
+    tf1 = tf.compat.v1
+    g = tf1.Graph()
+    with g.as_default():
+        tf_vars = [
+            tf1.Variable(initial_value=val, name=name, trainable=False)
+            for name, val in v.items()
+        ]
+        # drop the :0 / uniquification — Saver keys by op name, which for
+        # these freshly created variables is exactly the requested name
+        for var, name in zip(tf_vars, v):
+            assert var.op.name == name, (var.op.name, name)
+        saver = tf1.train.Saver(var_list=tf_vars)
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            return saver.save(sess, prefix, write_meta_graph=False)
+
+
+def test_tf_checkpoint_roundtrip(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+
+    v = make_ref_vars(seed=11)
+    prefix = _write_tf1_checkpoint(
+        tf, v, str(tmp_path / "ref" / "models.ckpt-500")
+    )
+    assert prefix.endswith("models.ckpt-500")
+
+    train_dir = str(tmp_path / "imported")
+    conf = small_conf(train_dir)
+    path, epoch = import_reference_checkpoint(
+        prefix, train_dir, conf=conf
+    )
+    assert epoch == 500
+
+    from geometric_adv_tpu.train.trainer import build_trainer_from_checkpoint
+
+    trainer = build_trainer_from_checkpoint(conf, train_dir, epoch=500)
+    assert int(trainer.state.epoch) == 500
+    x = np.random.RandomState(5).rand(3, N_POINTS, 3).astype(np.float32)
+    recon = np.asarray(trainer.get_reconstructions(x, batch_size=3))
+    want_recon, _ = numpy_reference_forward(v, x)
+    np.testing.assert_allclose(recon, want_recon, rtol=2e-5, atol=2e-5)
+
+
+def test_tf_checkpoint_cli(tmp_path, monkeypatch, capsys):
+    tf = pytest.importorskip("tensorflow")
+
+    v = make_ref_vars(seed=13)
+    prefix = _write_tf1_checkpoint(
+        tf, v, str(tmp_path / "ref" / "models.ckpt-500")
+    )
+    # a reference-format configuration.txt for the small arch
+    conf_txt = tmp_path / "configuration.txt"
+    conf_txt.write_text(
+        "".join(
+            "%30s: %s\n" % (k, val)
+            for k, val in [
+                ("n_input", list((N_POINTS, 3))),
+                ("encoder_args", {"n_filters": list(ENC), "b_norm": True}),
+                ("decoder_args", {"layer_sizes": list(DEC), "b_norm": False}),
+                ("batch_size", 2),
+                ("learning_rate", 0.0005),
+                ("loss", "chamfer"),
+                ("training_epochs", 500),
+            ]
+        )
+    )
+
+    from geometric_adv_tpu.cli import import_reference_ckpt as cli
+
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "import_reference_ckpt",
+            "--reference_ckpt", prefix,
+            "--reference_config", str(conf_txt),
+            "--project_dir", str(tmp_path),
+            "--train_folder", "log/victim",
+        ],
+    )
+    cli.main()
+    out = capsys.readouterr().out
+    assert "imported epoch 500" in out
+
+    restored = Configuration.load(
+        str(tmp_path / "log" / "victim" / "configuration")
+    )
+    assert restored.encoder_filters == list(ENC)
+
+    from geometric_adv_tpu.train.trainer import build_trainer_from_checkpoint
+
+    restored.train_dir = str(tmp_path / "log" / "victim")
+    trainer = build_trainer_from_checkpoint(
+        restored, restored.train_dir, epoch=500
+    )
+    x = np.random.RandomState(2).rand(2, N_POINTS, 3).astype(np.float32)
+    recon = np.asarray(trainer.get_reconstructions(x, batch_size=2))
+    want_recon, _ = numpy_reference_forward(v, x)
+    np.testing.assert_allclose(recon, want_recon, rtol=2e-5, atol=2e-5)
+
+
+def test_prefix_suffix_guard(tmp_path):
+    with pytest.raises(SystemExit, match="PREFIX"):
+        from geometric_adv_tpu.cli import import_reference_ckpt as cli
+        import sys
+
+        old = sys.argv
+        sys.argv = [
+            "x", "--reference_ckpt", "models.ckpt-500.index",
+            "--project_dir", str(tmp_path),
+        ]
+        try:
+            cli.main()
+        finally:
+            sys.argv = old
