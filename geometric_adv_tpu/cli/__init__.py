@@ -23,6 +23,7 @@ Run any stage as ``python -m geometric_adv_tpu.cli.<stage> [flags]``:
     tst_transfer           transfer-AE clean-test-set eval artifacts
     run_transfer           reconstruct adv inputs with a transfer AE
     evaluate_transfer      transferability stats
-    import_reference_ckpt  convert a reference TF1 AE checkpoint to orbax
+    import_reference_ckpt  convert reference pretrained checkpoints to orbax
+                           (AE/classifier TF ckpts, AtlasNet/FoldingNet torch)
     verify_tpu             on-device kernel/numerics checks (TPU hosts)
 """

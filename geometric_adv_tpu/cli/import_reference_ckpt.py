@@ -1,18 +1,25 @@
-"""Import a reference pretrained AE checkpoint (and optionally its config).
+"""Import a reference pretrained model checkpoint (and optionally its config).
 
-The reference ships pretrained models as TF1 ``tf.train.Saver`` checkpoints
-(download_models_and_data.sh -> ``log/autoencoder_victim/models.ckpt-500``
-etc.). This driver converts one into this framework's experiment layout so
-every downstream stage (tst_ae, run_attack, defenses, transfer) picks it up
-via ``--restore_epoch`` exactly as if it had been trained here:
+The reference ships pretrained models (download_models_and_data.sh) as TF1
+``tf.train.Saver`` checkpoints (victim/transfer AEs ``models.ckpt-500``,
+classifier ``model-150.ckpt``) and torch state dicts (AtlasNet
+``network.pth``, FoldingNet ``checkpoint_<epoch>.pth``). This driver
+converts any of them into this framework's experiment layout so every
+downstream stage picks the model up via its ``--*restore_epoch`` flag
+exactly as if it had been trained here:
 
     python -m geometric_adv_tpu.cli.import_reference_ckpt \
         --reference_ckpt ref_log/autoencoder_victim/models.ckpt-500 \
         --reference_config ref_log/autoencoder_victim/configuration.txt \
         --train_folder log/autoencoder_victim
 
-Needs the `tensorflow` package (checkpoint reader only — no graph/session);
-see MIGRATION.md section 5 and train/import_tf.py for the name mapping.
+    python -m geometric_adv_tpu.cli.import_reference_ckpt --model atlasnet \
+        --reference_ckpt ref_log/atlasnet_for_transfer/network.pth \
+        --train_folder log/atlasnet_for_transfer
+
+TF models need the `tensorflow` package (checkpoint reader only — no
+graph/session), torch models the CPU `torch` build; see MIGRATION.md
+section 5 and train/import_tf.py / train/import_torch.py for the mappings.
 """
 
 import argparse
@@ -20,14 +27,26 @@ import os.path as osp
 
 from geometric_adv_tpu.cli.common import ensure_dir
 from geometric_adv_tpu.train import Configuration
-from geometric_adv_tpu.train.import_tf import import_reference_checkpoint
+from geometric_adv_tpu.train.import_tf import (
+    import_reference_checkpoint,
+    import_reference_classifier_checkpoint,
+)
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--reference_ckpt", type=str, required=True,
-        help="saver prefix, e.g. .../models.ckpt-500 (not the .index file)",
+        help="saver prefix, e.g. .../models.ckpt-500 or .../model-150.ckpt "
+        "(not the .index file)",
+    )
+    parser.add_argument(
+        "--model", type=str, default="ae",
+        choices=["ae", "classifier", "atlasnet", "foldingnet"],
+        help="ae: PointNet autoencoder (victim / PointNet-transfer, TF); "
+        "classifier: the PointNet classifier (model-<epoch>.ckpt, TF); "
+        "atlasnet / foldingnet: the torch transfer AEs (network.pth / "
+        "checkpoint_<epoch>.pth)",
     )
     parser.add_argument(
         "--reference_config", type=str, default=None,
@@ -51,8 +70,9 @@ def main():
     flags = parser.parse_args()
     print("Import reference checkpoint flags:", flags)
 
-    if flags.reference_ckpt.endswith((".index", ".meta")) or ".data-" in (
-        flags.reference_ckpt
+    if flags.model in ("ae", "classifier") and (
+        flags.reference_ckpt.endswith((".index", ".meta"))
+        or ".data-" in flags.reference_ckpt
     ):
         raise SystemExit(
             "--reference_ckpt must be the saver PREFIX (strip the "
@@ -60,6 +80,60 @@ def main():
         )
 
     train_dir = ensure_dir(osp.join(flags.project_dir, flags.train_folder))
+
+    if flags.model in ("atlasnet", "foldingnet"):
+        if flags.reference_config is not None:
+            raise SystemExit(
+                "--reference_config applies to --model ae only"
+            )
+        from geometric_adv_tpu.train.import_torch import (
+            import_reference_atlasnet_checkpoint,
+            import_reference_foldingnet_checkpoint,
+        )
+
+        if flags.model == "atlasnet":
+            path, epoch, meta = import_reference_atlasnet_checkpoint(
+                flags.reference_ckpt, train_dir, epoch=flags.epoch or 0
+            )
+            print(f"imported atlasnet epoch {epoch} ({meta}) -> {path}")
+            if (meta["nb_primitives"], meta["template_dim"]) != (1, 3):
+                print(
+                    "NOTE: non-default architecture — build the trainer "
+                    f"with nb_primitives={meta['nb_primitives']}, "
+                    "template_type="
+                    f"{'SPHERE' if meta['template_dim'] == 3 else 'SQUARE'}"
+                )
+        else:
+            path, epoch = import_reference_foldingnet_checkpoint(
+                flags.reference_ckpt, train_dir, epoch=flags.epoch
+            )
+            print(f"imported foldingnet epoch {epoch} -> {path}")
+        print(
+            "restore with: --transfer_ae_folder "
+            f"{flags.train_folder} --transfer_ae_restore_epoch {epoch}"
+        )
+        return
+
+    if flags.model == "classifier":
+        if flags.reference_config is not None:
+            raise SystemExit(
+                "--reference_config applies to --model ae only (the "
+                "reference classifier has no Configuration object)"
+            )
+        path, epoch, num_classes, use_tnets = (
+            import_reference_classifier_checkpoint(
+                flags.reference_ckpt, train_dir, epoch=flags.epoch
+            )
+        )
+        print(
+            f"imported classifier epoch {epoch} ({num_classes} classes, "
+            f"{'full' if use_tnets else 'basic'} model) -> {path}"
+        )
+        print(
+            "restore with: --classifier_folder "
+            f"{flags.train_folder} --classifier_restore_epoch {epoch}"
+        )
+        return
 
     conf = None
     if flags.reference_config is not None:

@@ -27,6 +27,12 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
+# The reference's hand-rolled BN normalizes with epsilon 1e-3
+# (classifier/tf_util.py:500, tf.nn.batch_normalization(..., 1e-3)) — NOT
+# the 1e-5 default used everywhere tflearn-based (the AE side). Matching it
+# keeps imported reference classifier checkpoints bit-faithful.
+_BN_EPS = 1e-3
+
 
 class TNet(nn.Module):
     """Spatial/feature transform regressor -> [B, K, K] matrix.
@@ -47,7 +53,7 @@ class TNet(nn.Module):
             x = nn.Dense(width, name=f"tconv{i + 1}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=mom,
-                name=f"tbn{i + 1}",
+                epsilon=_BN_EPS, name=f"tbn{i + 1}",
             )(x)
             x = nn.relu(x)
         x = jnp.max(x, axis=-2)  # max over points
@@ -55,7 +61,7 @@ class TNet(nn.Module):
             x = nn.Dense(width, name=f"tfc{i + 1}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=mom,
-                name=f"tfc_bn{i + 1}",
+                epsilon=_BN_EPS, name=f"tfc_bn{i + 1}",
             )(x)
             x = nn.relu(x)
         x = nn.Dense(
@@ -96,7 +102,7 @@ class PointNetClassifier(nn.Module):
             h = nn.Dense(width, name=name)(h)
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=mom,
-                name=name + "_bn",
+                epsilon=_BN_EPS, name=name + "_bn",
             )(h)
             return nn.relu(h)
 

@@ -186,8 +186,147 @@ def map_reference_ae_variables(
 
 
 def _epoch_from_prefix(ckpt_prefix: str) -> int | None:
-    m = re.search(r"-(\d+)$", ckpt_prefix)
+    # AE style ``models.ckpt-500`` and classifier style ``model-150.ckpt``
+    # (reference: src/neural_net.py:10; classifier/train_classifier.py:200-203)
+    m = re.search(r"-(\d+)(?:\.ckpt)?$", ckpt_prefix)
     return int(m.group(1)) if m else None
+
+
+# --- PointNet classifier checkpoints ---------------------------------------
+#
+# The reference classifier (classifier/train_classifier.py, saved as
+# ``model-<epoch>.ckpt``) builds its graph with classifier/tf_util.py, whose
+# naming was extracted by building that exact graph under TF2's v1-compat
+# and listing tf.global_variables():
+#
+# - ``<scope>/weights`` + ``/biases`` per conv2d/fully_connected layer
+#   (tf_util.py:149-159,330-339); conv kernels are 4-D ([1,1,c_in,c_out],
+#   or [1,3,1,64] for the first layer, which convolves the 3 coordinates —
+#   both squeeze to the per-point Dense kernel [c_in, c_out]);
+# - ``<scope>/bn/beta`` + ``/bn/gamma`` (batch_norm_template,
+#   tf_util.py:454-500, epsilon 1e-3 — matched by models/pointnet_cls);
+# - the moving statistics are ExponentialMovingAverage SHADOW variables of
+#   the batch-moment tensors, created inside the bn scope with the full op
+#   name, so the scope appears TWICE:
+#   ``<scope>/bn/<scope>/bn/moments/Squeeze/ExponentialMovingAverage``
+#   (mean) and ``.../Squeeze_1/ExponentialMovingAverage`` (variance)
+#   (tf_util.py:473-477; ema.apply on tensors, zero_debias off);
+# - T-Net scopes ``transform_net{1,2}/{tconv1..3,tfc1..2}`` with the final
+#   regressor ``transform_XYZ`` (K=3) / ``transform_feat`` (K=64), whose
+#   stored bias EXCLUDES the identity (added as a graph constant,
+#   transform_nets.py:55-61,99-105 — same convention as our TNet).
+
+_TNET_FINAL = {"transform_net1": "transform_XYZ", "transform_net2": "transform_feat"}
+
+
+def _cls_dense(tf_vars, base):
+    w = np.asarray(tf_vars[f"{base}/weights"], np.float32)
+    w = np.squeeze(w) if w.ndim > 2 else w
+    if w.ndim != 2:
+        raise ValueError(f"{base}/weights: cannot squeeze {w.shape} to 2-D")
+    return {
+        "kernel": w,
+        "bias": np.asarray(tf_vars[f"{base}/biases"], np.float32),
+    }
+
+
+def _cls_bn(tf_vars, base):
+    bn = f"{base}/bn"
+    shadow = f"{bn}/{bn}/moments"
+    try:
+        p = {
+            "scale": np.asarray(tf_vars[f"{bn}/gamma"], np.float32),
+            "bias": np.asarray(tf_vars[f"{bn}/beta"], np.float32),
+        }
+        s = {
+            "mean": np.asarray(
+                tf_vars[f"{shadow}/Squeeze/ExponentialMovingAverage"],
+                np.float32,
+            ),
+            "var": np.asarray(
+                tf_vars[f"{shadow}/Squeeze_1/ExponentialMovingAverage"],
+                np.float32,
+            ),
+        }
+    except KeyError as e:
+        raise ValueError(f"{bn}: incomplete BN variable set ({e})") from e
+    return p, s
+
+
+def _map_tnet(tf_vars, scope):
+    p: dict = {}
+    s: dict = {}
+    for i in (1, 2, 3):
+        p[f"tconv{i}"] = _cls_dense(tf_vars, f"{scope}/tconv{i}")
+        p[f"tbn{i}"], s[f"tbn{i}"] = _cls_bn(tf_vars, f"{scope}/tconv{i}")
+    for i in (1, 2):
+        p[f"tfc{i}"] = _cls_dense(tf_vars, f"{scope}/tfc{i}")
+        p[f"tfc_bn{i}"], s[f"tfc_bn{i}"] = _cls_bn(tf_vars, f"{scope}/tfc{i}")
+    p["transform"] = _cls_dense(tf_vars, f"{scope}/{_TNET_FINAL[scope]}")
+    return p, s
+
+
+def map_reference_classifier_variables(tf_vars: dict[str, np.ndarray]):
+    """Reference PointNet-classifier variables -> (params, batch_stats).
+
+    Handles both the full model (classifier/pointnet_cls.py, with T-Nets)
+    and the basic variant (classifier/pointnet_cls_basic.py, detected by
+    the absence of the transform_net scopes -> our ``use_tnets=False``).
+    Tree layout matches ``PointNetClassifier.init`` (models/pointnet_cls.py).
+    """
+    if "conv1/weights" not in tf_vars:
+        raise ValueError(
+            "no conv1/weights variable — not a reference PointNet "
+            f"classifier checkpoint (variables: {sorted(tf_vars)[:8]}...)"
+        )
+    params: dict = {}
+    stats: dict = {}
+    use_tnets = "transform_net1/tconv1/weights" in tf_vars
+    if use_tnets:
+        for scope in ("transform_net1", "transform_net2"):
+            params[scope], stats[scope] = _map_tnet(tf_vars, scope)
+    for i in (1, 2, 3, 4, 5):
+        params[f"conv{i}"] = _cls_dense(tf_vars, f"conv{i}")
+        params[f"conv{i}_bn"], stats[f"conv{i}_bn"] = _cls_bn(
+            tf_vars, f"conv{i}"
+        )
+    for i in (1, 2):
+        params[f"fc{i}"] = _cls_dense(tf_vars, f"fc{i}")
+        params[f"fc{i}_bn"], stats[f"fc{i}_bn"] = _cls_bn(tf_vars, f"fc{i}")
+    params["fc3"] = _cls_dense(tf_vars, "fc3")
+    return params, stats, use_tnets
+
+
+def import_reference_classifier_checkpoint(
+    ckpt_prefix: str, train_dir: str, epoch: int | None = None
+) -> tuple[str, int, int, bool]:
+    """Convert a reference ``model-<epoch>.ckpt`` into an orbax checkpoint.
+
+    Returns (path, epoch, num_classes, use_tnets). The tree matches
+    ``classify.trainer.ClsTrainer.save`` so ``ClsTrainer.restore`` /
+    the classifier CLIs' ``--restore_epoch`` load it unchanged.
+    """
+    tf_vars = load_tf_variables(ckpt_prefix)
+    params, batch_stats, use_tnets = map_reference_classifier_variables(
+        tf_vars
+    )
+    epoch = epoch if epoch is not None else _epoch_from_prefix(ckpt_prefix)
+    if epoch is None:
+        raise ValueError(
+            "cannot infer the checkpoint epoch from the prefix; pass epoch="
+        )
+    num_classes = int(params["fc3"]["bias"].shape[0])
+    tree = {
+        "params": params,
+        "batch_stats": batch_stats,
+        "epoch": int(epoch),
+    }
+    return (
+        ckpt.save_checkpoint(train_dir, int(epoch), tree),
+        int(epoch),
+        num_classes,
+        use_tnets,
+    )
 
 
 def _check_against_conf(params, batch_stats, conf):

@@ -21,7 +21,9 @@ from geometric_adv_tpu.train import Configuration
 from geometric_adv_tpu.train.import_tf import (
     detect_model_scope,
     import_reference_checkpoint,
+    import_reference_classifier_checkpoint,
     map_reference_ae_variables,
+    map_reference_classifier_variables,
 )
 
 ENC = (8, 12, 6)  # last = bneck
@@ -287,3 +289,219 @@ def test_prefix_suffix_guard(tmp_path):
             cli.main()
         finally:
             sys.argv = old
+
+
+# --- classifier checkpoints -------------------------------------------------
+
+N_CLS = 4
+CLS_N_POINTS = 8
+# (scope, c_in, c_out, conv_kernel_shape|None for fc) per layer, exactly the
+# variable set listed from building the reference graph (see
+# train/import_tf.py's classifier section)
+_TNET = lambda scope, c0, kdim: [  # noqa: E731
+    (f"{scope}/tconv1", (1, kdim, 1, 64) if kdim == 3 else (1, 1, c0, 64), True),
+    (f"{scope}/tconv2", (1, 1, 64, 128), True),
+    (f"{scope}/tconv3", (1, 1, 128, 1024), True),
+    (f"{scope}/tfc1", (1024, 512), True),
+    (f"{scope}/tfc2", (512, 256), True),
+]
+
+
+def make_cls_vars(seed=0, use_tnets=True):
+    rng = np.random.RandomState(seed)
+    v = {}
+
+    def add(base, shape, bn):
+        out = shape[-1]
+        # fan-in scaling keeps activations O(1) through the 1024-wide
+        # layers — unscaled random weights blow the logits up to ~1e6,
+        # where f32 summation-order noise swamps any sane tolerance
+        w_scale = np.float32(0.7 / np.sqrt(np.prod(shape[:-1])))
+        v[f"{base}/weights"] = (
+            rng.randn(*shape).astype(np.float32) * w_scale
+        )
+        v[f"{base}/biases"] = rng.randn(out).astype(np.float32) * 0.05
+        if bn:
+            v[f"{base}/bn/beta"] = rng.randn(out).astype(np.float32) * 0.05
+            v[f"{base}/bn/gamma"] = (
+                1 + rng.randn(out).astype(np.float32) * 0.05
+            )
+            sh = f"{base}/bn/{base}/bn/moments"
+            v[f"{sh}/Squeeze/ExponentialMovingAverage"] = (
+                rng.randn(out).astype(np.float32) * 0.05
+            )
+            v[f"{sh}/Squeeze_1/ExponentialMovingAverage"] = (
+                1 + rng.rand(out).astype(np.float32) * 0.2
+            )
+
+    if use_tnets:
+        for layer, shape, bn in _TNET("transform_net1", 3, 3):
+            add(layer, shape, bn)
+        add("transform_net1/transform_XYZ", (256, 9), False)
+        for layer, shape, bn in _TNET("transform_net2", 64, 1):
+            add(layer, shape, bn)
+        add("transform_net2/transform_feat", (256, 64 * 64), False)
+    add("conv1", (1, 3, 1, 64), True)
+    add("conv2", (1, 1, 64, 64), True)
+    add("conv3", (1, 1, 64, 64), True)
+    add("conv4", (1, 1, 64, 128), True)
+    add("conv5", (1, 1, 128, 1024), True)
+    add("fc1", (1024, 512), True)
+    add("fc2", (512, 256), True)
+    add("fc3", (256, N_CLS), False)
+    return v
+
+
+def _np_cls_dense(v, base, h):
+    w = v[f"{base}/weights"]
+    w = w.reshape(w.shape[-2:]) if w.shape[:-2] == (1, 1) else np.squeeze(w)
+    return h @ w + v[f"{base}/biases"]
+
+
+def _np_cls_bn(v, base, h):
+    sh = f"{base}/bn/{base}/bn/moments"
+    mean = v[f"{sh}/Squeeze/ExponentialMovingAverage"]
+    var = v[f"{sh}/Squeeze_1/ExponentialMovingAverage"]
+    # reference BN epsilon is 1e-3 (classifier/tf_util.py:500)
+    return (h - mean) / np.sqrt(var + 1e-3) * v[f"{base}/bn/gamma"] + v[
+        f"{base}/bn/beta"
+    ]
+
+
+def _np_tnet(v, scope, h, k, final):
+    for name in ("tconv1", "tconv2", "tconv3"):
+        h = np.maximum(_np_cls_bn(v, f"{scope}/{name}",
+                                  _np_cls_dense(v, f"{scope}/{name}", h)), 0)
+    h = h.max(axis=-2)
+    for name in ("tfc1", "tfc2"):
+        h = np.maximum(_np_cls_bn(v, f"{scope}/{name}",
+                                  _np_cls_dense(v, f"{scope}/{name}", h)), 0)
+    t = _np_cls_dense(v, f"{scope}/{final}", h) + np.eye(
+        k, dtype=np.float32
+    ).reshape(-1)
+    return t.reshape(t.shape[:-1] + (k, k))
+
+
+def numpy_classifier_forward(v, x):
+    """Reference classifier forward (inference mode), straight numpy."""
+    t1 = _np_tnet(v, "transform_net1", x, 3, "transform_XYZ")
+    h = np.einsum("bnc,bck->bnk", x, t1)
+    for name in ("conv1", "conv2"):
+        h = np.maximum(_np_cls_bn(v, name, _np_cls_dense(v, name, h)), 0)
+    t2 = _np_tnet(v, "transform_net2", h, 64, "transform_feat")
+    h = np.einsum("bnc,bck->bnk", h, t2)
+    for name in ("conv3", "conv4", "conv5"):
+        h = np.maximum(_np_cls_bn(v, name, _np_cls_dense(v, name, h)), 0)
+    h = h.max(axis=-2)
+    for name in ("fc1", "fc2"):
+        h = np.maximum(_np_cls_bn(v, name, _np_cls_dense(v, name, h)), 0)
+    return _np_cls_dense(v, "fc3", h)
+
+
+def test_classifier_mapping_matches_model_tree():
+    import jax
+
+    from geometric_adv_tpu.classify.trainer import ClassifierTrainer
+
+    v = make_cls_vars()
+    params, stats, use_tnets = map_reference_classifier_variables(v)
+    assert use_tnets
+
+    trainer = ClassifierTrainer(num_classes=N_CLS, num_points=CLS_N_POINTS)
+    shapes = lambda t: jax.tree.map(lambda a: tuple(np.shape(a)), t)  # noqa: E731
+    assert shapes(params) == shapes(jax.device_get(trainer.state.params))
+    assert shapes(stats) == shapes(jax.device_get(trainer.state.batch_stats))
+    # the [1,3,1,64] coordinate conv squeezes to the [3,64] Dense kernel
+    np.testing.assert_array_equal(
+        params["conv1"]["kernel"], v["conv1/weights"][0, :, 0, :]
+    )
+    np.testing.assert_array_equal(
+        stats["fc2_bn"]["var"],
+        v["fc2/bn/fc2/bn/moments/Squeeze_1/ExponentialMovingAverage"],
+    )
+    np.testing.assert_array_equal(
+        params["transform_net2"]["transform"]["bias"],
+        v["transform_net2/transform_feat/biases"],
+    )
+
+
+def test_classifier_mapping_basic_variant():
+    import jax
+
+    from geometric_adv_tpu.models.pointnet_cls import PointNetClassifier
+
+    v = make_cls_vars(use_tnets=False)
+    params, stats, use_tnets = map_reference_classifier_variables(v)
+    assert not use_tnets
+
+    model = PointNetClassifier(num_classes=N_CLS, use_tnets=False)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, CLS_N_POINTS, 3), np.float32),
+        train=False,
+    )
+    shapes = lambda t: jax.tree.map(lambda a: tuple(np.shape(a)), t)  # noqa: E731
+    assert shapes(params) == shapes(jax.device_get(variables["params"]))
+    assert shapes(stats) == shapes(jax.device_get(variables["batch_stats"]))
+
+
+def test_classifier_logits_equal_numpy_reference():
+    from geometric_adv_tpu.classify.trainer import ClassifierTrainer
+
+    v = make_cls_vars(seed=21)
+    params, stats, _ = map_reference_classifier_variables(v)
+    trainer = ClassifierTrainer(num_classes=N_CLS, num_points=CLS_N_POINTS)
+    trainer.state = trainer.state.replace(params=params, batch_stats=stats)
+
+    x = np.random.RandomState(9).rand(6, CLS_N_POINTS, 3).astype(np.float32)
+    logits = trainer._jit_logits(trainer.state, x)
+    want = numpy_classifier_forward(v, x)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=5e-4)
+    preds = trainer.classify(x)
+    np.testing.assert_array_equal(preds, want.argmax(axis=-1))
+
+
+def test_classifier_tf_checkpoint_roundtrip(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+
+    v = make_cls_vars(seed=33)
+    prefix = _write_tf1_checkpoint(
+        tf, v, str(tmp_path / "ref" / "model-150.ckpt")
+    )
+    assert prefix.endswith("model-150.ckpt")
+
+    train_dir = str(tmp_path / "imported_cls")
+    path, epoch, num_classes, use_tnets = (
+        import_reference_classifier_checkpoint(prefix, train_dir)
+    )
+    assert (epoch, num_classes, use_tnets) == (150, N_CLS, True)
+
+    from geometric_adv_tpu.classify.trainer import ClassifierTrainer
+
+    trainer = ClassifierTrainer(num_classes=N_CLS, num_points=CLS_N_POINTS)
+    trainer.restore(train_dir, epoch=150)
+    assert int(trainer.state.epoch) == 150
+    x = np.random.RandomState(4).rand(3, CLS_N_POINTS, 3).astype(np.float32)
+    logits = trainer._jit_logits(trainer.state, x)
+    want = numpy_classifier_forward(v, x)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=5e-4)
+
+
+def test_classifier_cli_branch(tmp_path, monkeypatch, capsys):
+    tf = pytest.importorskip("tensorflow")
+
+    v = make_cls_vars(seed=40)
+    prefix = _write_tf1_checkpoint(
+        tf, v, str(tmp_path / "ref" / "model-150.ckpt")
+    )
+    from geometric_adv_tpu.cli import import_reference_ckpt as cli
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", "--model", "classifier", "--reference_ckpt", prefix,
+         "--project_dir", str(tmp_path), "--train_folder", "log/pointnet"],
+    )
+    cli.main()
+    out = capsys.readouterr().out
+    assert "imported classifier epoch 150 (4 classes, full model)" in out
+    assert "--classifier_restore_epoch 150" in out
