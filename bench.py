@@ -605,6 +605,21 @@ def main():
     except Exception as e:
         _log(f"bench: 2048 attack metric failed: {type(e).__name__}: {e}")
     try:
+        # the documented fast configuration at the paper's own workload
+        # shape (bf16 AE compute, f32 losses/metrics)
+        extras["attack_pair_iters_2048pts_bf16_encoder"] = round(
+            bench_attack(
+                ae_dtype="bfloat16",
+                fused=winner_fused,
+                n_points=N_POINTS_REF,
+                batch_pairs=BATCH_PAIRS_REF,
+                num_iters=NUM_ITERS_REF,
+            ),
+            1,
+        )
+    except Exception as e:
+        _log(f"bench: 2048 bf16 attack metric failed: {type(e).__name__}: {e}")
+    try:
         extras["train_samples_per_sec_2048pts"] = round(bench_train_ae(), 1)
     except Exception as e:
         _log(f"bench: train throughput metric failed: {type(e).__name__}: {e}")
