@@ -58,6 +58,12 @@ def main():
         "plain autodiff (even tie split); 'auto' = sparse on TPU, dense "
         "elsewhere (keeps CPU golden bits)",
     )
+    parser.add_argument(
+        "--trace_dir", type=str, default=None,
+        help="capture a jax.profiler device trace of the FIRST class's "
+        "attack into this directory (open with TensorBoard's profile "
+        "plugin or ui.perfetto.dev)",
+    )
     flags = parser.parse_args()
     print("Run attack flags:", flags)
     from geometric_adv_tpu.cli.common import set_matmul_precision
@@ -150,12 +156,21 @@ def main():
         )
         target_ae_loss_ref = target_ae_loss_ref.reshape(-1)
 
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+        if flags.trace_dir is not None and i == 0:
+            from geometric_adv_tpu.utils.profiling import trace
+
+            print(f"tracing this class's attack into {flags.trace_dir}")
+            trace_cm = trace(flags.trace_dir)
         with open(osp.join(save_dir, "attack_stats.txt"), "a", 1) as fout:
             fout.write(f"Attack flags: {flags}\n")
-            out = runner.attack(
-                source_pc, target_latent, target_pc, target_ae_loss_ref,
-                batch_size=flags.batch_size or None, log_file=fout,
-            )
+            with trace_cm:
+                out = runner.attack(
+                    source_pc, target_latent, target_pc, target_ae_loss_ref,
+                    batch_size=flags.batch_size or None, log_file=fout,
+                )
 
         np.save(osp.join(save_dir, "adversarial_metrics"), out.metrics)
         np.save(osp.join(save_dir, "adversarial_pc_input"), out.pc_input)

@@ -96,3 +96,20 @@ def test_plot_helpers_write_files(tmp_path, rng):
 
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 1000, p
+
+
+def test_profiler_trace_writes_a_capture(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from geometric_adv_tpu.utils.profiling import trace
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * x)
+
+    with trace(str(tmp_path)):
+        float(f(jnp.arange(64, dtype=jnp.float32)))
+    # jax writes plugins/profile/<ts>/*.trace.json.gz (or .pb) under the dir
+    captured = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert captured, "trace() produced no capture files"
