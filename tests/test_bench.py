@@ -69,6 +69,10 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     # tiny CPU rates always sit below the TPU throttle threshold — no
     # sleep-retry loops in the smoke test
     monkeypatch.setattr(bench, "RETRY_IF_BELOW", 0.0)
+    # skip the real subprocess availability probe (tests run on CPU)
+    monkeypatch.setattr(
+        bench, "_probe_relay_subprocess", lambda *a, **k: True
+    )
 
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
@@ -76,6 +80,24 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     rec = json.loads(out[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline", "extras"}
     assert rec["value"] > 0
+
+
+def test_bench_main_outage_mode_still_prints_record(monkeypatch, capsys):
+    """If the relay never answers, main() must still print ONE honest JSON
+    line (value 0, outage documented) instead of crashing recordless."""
+    monkeypatch.setattr(
+        bench, "_probe_relay_subprocess", lambda *a, **k: False
+    )
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    rec = json.loads(out[0])
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline", "extras"}
+    assert rec["value"] == 0.0
+    assert rec["vs_baseline"] == 0.0
+    assert "outage" in rec["extras"]["error"]
+    assert "unofficial_dev_captures" in rec["extras"]
 
 
 def test_retry_recovers_and_propagates(monkeypatch):
