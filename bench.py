@@ -551,12 +551,13 @@ def bench_emd_train_loss():
 
 
 # Attack rates measured across round-2/3 sessions spanned 13.5k-19.6k on the
-# identical program (26.5-27.9k after the round-3 sparse-VJP + tile retune);
-# if an attempt lands below the >=20x north-star bar (25k), the chip/relay
-# is likely in a throttled state — sleep and retry (each attempt's rate is
-# recorded in extras; the best attempt is the headline, which is fair
-# because the program is identical and the variance is the shared chip).
-RETRY_IF_BELOW = 25_000.0
+# identical program (26.5-31.8k after the round-3 sparse-VJP + tile retunes;
+# 37.1k on the healthy post-outage chip of 2026-08-18 — probes 36+ TF MXU /
+# 0.71+ T VPU); if an attempt lands below 30k, the chip/relay is likely in
+# a throttled state — sleep and retry (each attempt's rate is recorded in
+# extras; the best attempt is the headline, which is fair because the
+# program is identical and the variance is the shared chip).
+RETRY_IF_BELOW = 30_000.0
 MAX_ATTACK_ATTEMPTS = 3
 RETRY_SLEEP_S = 90
 
