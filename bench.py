@@ -43,6 +43,32 @@ import time
 import numpy as np
 
 BASELINE_PAIR_ITERS_PER_SEC = 1250.0
+# Sensitivity band for the self-chosen denominator above. The reference
+# publishes no throughput numbers, so the baseline is an ESTIMATE of the
+# V100 attack loop's per-iteration wall time (one batch-10 Adam step = one
+# sess.run(attack_op) + one sess.run of 6 loss tensors,
+# reference: src/adv_ae.py:216-221). Derivation of the band edges:
+# - fast edge 4 ms/iter: both sess.runs fully overlapped, kernels at V100
+#   speed-of-light for the ~0.61 GFLOP x 10 pairs of fwd+bwd work plus two
+#   kernel-launch round trips (~1-2 ms each on TF1);
+# - point estimate 8 ms/iter: the "generous" figure used since round 1;
+# - slow edge 16 ms/iter: measured-typical TF1 feed_dict session overhead
+#   (2 blocking sess.runs x ~3-5 ms launch+sync) plus unfused chamfer +
+#   AE graphs at batch 10.
+# At batch 10, pair-iters/s = 10_000 / (ms/iter): 4 ms -> 2500/s,
+# 16 ms -> 625/s. Every vs_baseline headline carries vs_baseline_range
+# computed from these edges.
+BASELINE_MS_PER_ITER_BAND = (4.0, 16.0)
+BASELINE_BATCH = 10
+
+
+def baseline_range_pair_iters():
+    """(fast, slow) baseline pair-iters/s from the ms/iteration band."""
+    fast_ms, slow_ms = BASELINE_MS_PER_ITER_BAND
+    return (
+        BASELINE_BATCH * 1000.0 / fast_ms,
+        BASELINE_BATCH * 1000.0 / slow_ms,
+    )
 # v5e bf16 peak per chip; used only for the informational MFU estimate.
 PEAK_FLOPS = 197e12
 # Analytic cost of one attack pair-iteration @1024 pts (fwd+bwd+Adam):
@@ -715,6 +741,25 @@ def main():
         # utilization vs what the chip DELIVERS right now (the probe has
         # measured as low as 14% of the 197 TF paper peak through the relay)
         extras["est_mfu_vs_chip_probe"] = round(flops / (mxu * 1e12), 4)
+
+    # Sensitivity band: the x-figure against the fast/slow edges of the
+    # baseline estimate (see BASELINE_MS_PER_ITER_BAND) — no headline x
+    # without its band.
+    base_fast, base_slow = baseline_range_pair_iters()
+    extras["vs_baseline_range"] = [
+        round(pair_iters_per_sec / base_fast, 2),
+        round(pair_iters_per_sec / base_slow, 2),
+    ]
+    extras["baseline_ms_per_iter_band"] = list(BASELINE_MS_PER_ITER_BAND)
+    if "attack_pair_iters_2048pts" in extras:
+        r2048 = extras["attack_pair_iters_2048pts"]
+        extras["vs_baseline_2048pts"] = round(
+            r2048 / BASELINE_PAIR_ITERS_PER_SEC, 2
+        )
+        extras["vs_baseline_range_2048pts"] = [
+            round(r2048 / base_fast, 2),
+            round(r2048 / base_slow, 2),
+        ]
 
     print(
         json.dumps(

@@ -6,5 +6,17 @@ from geometric_adv_tpu.transfer.trainers import (
     FoldingNetTrainer,
     get_transfer_ae,
 )
+from geometric_adv_tpu.transfer.metro import (
+    atlasnet_generate_mesh,
+    metro_distance,
+    metro_eval,
+)
 
-__all__ = ["AtlasNetTrainer", "FoldingNetTrainer", "get_transfer_ae"]
+__all__ = [
+    "AtlasNetTrainer",
+    "FoldingNetTrainer",
+    "get_transfer_ae",
+    "atlasnet_generate_mesh",
+    "metro_distance",
+    "metro_eval",
+]

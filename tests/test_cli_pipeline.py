@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale; quick tier runs -m "not slow"
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 GOLDEN_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "golden")
 

@@ -13,6 +13,10 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale; quick tier runs -m "not slow"
+
 
 _WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
 

@@ -17,6 +17,8 @@ Two layers of coverage:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale; quick tier runs -m "not slow"
+
 from geometric_adv_tpu.train import Configuration
 from geometric_adv_tpu.train.import_tf import (
     detect_model_scope,

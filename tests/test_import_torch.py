@@ -13,6 +13,8 @@ trainers.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale; quick tier runs -m "not slow"
+
 from geometric_adv_tpu.train.import_torch import (
     map_reference_atlasnet_state,
     map_reference_foldingnet_state,

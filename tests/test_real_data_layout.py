@@ -25,6 +25,10 @@ from geometric_adv_tpu.data.datasets import (
 )
 from geometric_adv_tpu.data.ply import save_ply
 
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale; quick tier runs -m "not slow"
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 N_PER_CLASS = 20
 N_POINTS = 128
