@@ -215,9 +215,13 @@ def bench_attack(
     iters = num_iters or NUM_ITERS
 
     if fused is not None:
+        import geometric_adv_tpu.attack.core as _attack_core
         import geometric_adv_tpu.ops.chamfer as _chamfer_mod
 
         _chamfer_mod.FUSED_LOSS_ENABLED = bool(fused)
+        # bench runs its own fused/composed autotune; AttackRunner's on-chip
+        # calibration must not override the forced arm
+        _attack_core.CALIBRATE_CHAMFER_IMPL = False
 
     from geometric_adv_tpu.attack.core import AttackRunner
     from geometric_adv_tpu.parallel import get_mesh

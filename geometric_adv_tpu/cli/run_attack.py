@@ -70,9 +70,13 @@ def main():
 
     set_matmul_precision(flags.matmul_precision)
     if flags.chamfer_impl != "auto":
+        import geometric_adv_tpu.attack.core as attack_core
         import geometric_adv_tpu.ops.chamfer as chamfer_mod
 
         chamfer_mod.FUSED_LOSS_ENABLED = flags.chamfer_impl == "fused"
+        # a forced implementation must not be overridden by the runner's
+        # on-chip calibration
+        attack_core.CALIBRATE_CHAMFER_IMPL = False
     if flags.encoder_vjp != "auto":
         import geometric_adv_tpu.models.sparse_encode as sparse_encode_mod
 

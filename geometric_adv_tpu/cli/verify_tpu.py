@@ -239,8 +239,12 @@ def main() -> None:
     )
 
     # --- 6: short attack, sparse-vs-dense routing + trajectory -----------
+    import geometric_adv_tpu.attack.core as attack_core
     from geometric_adv_tpu.attack.core import AttackRunner
 
+    # keep the two arms on identical chamfer routing: the runner's on-chip
+    # calibration (checked separately below) must not flip mid-comparison
+    attack_core.CALIBRATE_CHAMFER_IMPL = False
     outs = {}
     for name, flag in (("sparse", True), ("dense", False)):
         prev = se.SPARSE_ENCODER_VJP
@@ -278,6 +282,25 @@ def main() -> None:
         "TPU auto-routing selects the sparse encoder VJP",
         se.sparse_enabled(),
     )
+
+    # --- 7: on-chip chamfer-impl calibration routes the session winner ---
+    attack_core.CALIBRATE_CHAMFER_IMPL = True
+    attack_core._CHAMFER_CALIB_CACHE.clear()
+    prev_fused = chamfer_mod.FUSED_LOSS_ENABLED
+    try:
+        AttackRunner(
+            trainer.model, trainer.state.params, trainer.state.batch_stats,
+            conf,
+        )
+        calibrated = len(attack_core._CHAMFER_CALIB_CACHE) == 1
+        decision = next(iter(attack_core._CHAMFER_CALIB_CACHE.values()), None)
+        _check(
+            "AttackRunner on-chip chamfer-impl calibration ran + routed",
+            calibrated and chamfer_mod.FUSED_LOSS_ENABLED == decision,
+            f"decision={'fused' if decision else 'composed'}",
+        )
+    finally:
+        chamfer_mod.FUSED_LOSS_ENABLED = prev_fused
 
     print(
         f"\n{'ALL CHECKS PASSED' if not _FAILURES else 'FAILURES: ' + ', '.join(_FAILURES)}",

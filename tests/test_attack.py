@@ -345,3 +345,50 @@ def test_emd_attack_variant(rng):
     tre_now = np.asarray(emd_loss_fused(
         np.asarray(decode(encode(out.pc_input[0]))), gt))
     assert np.all(m[:, 4] <= tre_now + 1e-3)  # best <= final
+
+
+def test_chamfer_impl_calibration_machinery(rng, monkeypatch):
+    """The on-chip fused/composed calibration (attack/core.py): measures
+    both arms, returns a bool, caches the decision per shape/config, and
+    never runs from AttackRunner on CPU (routing there is composed anyway).
+    The decision's on-TPU behavior is pinned by cli/verify_tpu.py check 7."""
+    import geometric_adv_tpu.attack.core as core
+
+    _, _, encode, decode = tiny_model()
+    monkeypatch.setattr(core, "_CALIB_BATCH", 2)
+    monkeypatch.setattr(core, "_CALIB_ITERS", 2)
+    monkeypatch.setattr(core, "_CALIB_REPS", 1)
+    core._CHAMFER_CALIB_CACHE.clear()
+
+    conf = Configuration(
+        n_input=[32, 3], bneck_size=8, batch_size=2, learning_rate=0.01,
+        dist_weight_list=[1.0], num_iterations=5, num_iterations_thresh=1,
+        saver_step=None,
+    )
+    decision = core._calibrate_chamfer_impl(encode, decode, conf)
+    assert isinstance(decision, bool)
+    assert len(core._CHAMFER_CALIB_CACHE) == 1
+
+    # cache hit: poison the cached value and confirm no re-measurement
+    key = next(iter(core._CHAMFER_CALIB_CACHE))
+    core._CHAMFER_CALIB_CACHE[key] = not decision
+    assert core._calibrate_chamfer_impl(encode, decode, conf) == (not decision)
+    core._CHAMFER_CALIB_CACHE.clear()
+
+
+def test_attack_runner_skips_calibration_on_cpu(rng, tmp_path):
+    """On CPU the runner must not calibrate (the fused kernel is TPU-only;
+    CPU golden artifacts keep the composed path's bits)."""
+    import geometric_adv_tpu.attack.core as core
+
+    core._CHAMFER_CALIB_CACHE.clear()
+    conf = Configuration(
+        n_input=[32, 3], bneck_size=8, batch_size=2, learning_rate=0.01,
+        dist_weight_list=[1.0], num_iterations=5, num_iterations_thresh=1,
+        saver_step=None,
+    )
+    trainer = AETrainer(conf)
+    AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats, conf
+    )
+    assert len(core._CHAMFER_CALIB_CACHE) == 0

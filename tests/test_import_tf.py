@@ -45,12 +45,15 @@ def small_conf(train_dir=None):
     )
 
 
-def make_ref_vars(scope="autoencoder", seed=0, conv_rank4=True, epoch=500.0):
+def make_ref_vars(
+    scope="autoencoder", seed=0, conv_rank4=True, epoch=500.0,
+    enc=ENC, dec=DEC,
+):
     """A synthetic reference-named variable dict for the small victim arch."""
     rng = np.random.RandomState(seed)
     v = {}
     c_in = 3
-    for i, width in enumerate(ENC):
+    for i, width in enumerate(enc):
         base = f"{scope}/encoder_conv_layer_{i}"
         w = rng.randn(c_in, width).astype(np.float32) * 0.5
         # tflearn conv_1d stores filters 4-D [1, filter_size=1, in, out]
@@ -67,7 +70,7 @@ def make_ref_vars(scope="autoencoder", seed=0, conv_rank4=True, epoch=500.0):
             1.0 + rng.rand(width).astype(np.float32)
         )
         c_in = width
-    for j, width in enumerate(DEC):
+    for j, width in enumerate(dec):
         base = f"{scope}/decoder_fc_{j}"
         v[f"{base}/W"] = rng.randn(c_in, width).astype(np.float32) * 0.5
         v[f"{base}/b"] = rng.randn(width).astype(np.float32) * 0.1
@@ -76,7 +79,7 @@ def make_ref_vars(scope="autoencoder", seed=0, conv_rank4=True, epoch=500.0):
         v[f"{scope}/epoch"] = np.float32(epoch)
     # optimizer slots must be ignored by the mapping
     v[f"{scope}/encoder_conv_layer_0/W/Adam"] = np.zeros(
-        (1, 1, 3, ENC[0]), np.float32
+        (1, 1, 3, enc[0]), np.float32
     )
     v["beta1_power"] = np.float32(0.9)
     return v
@@ -507,3 +510,109 @@ def test_classifier_cli_branch(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "imported classifier epoch 150 (4 classes, full model)" in out
     assert "--classifier_restore_epoch 150" in out
+
+
+# --- imported-TF victim -> attack replay (golden) ---------------------------
+
+def _run_cli(module, *args):
+    """Run a stage CLI as a subprocess on CPU (same recipe as
+    tests/test_cli_pipeline.py — duplicated because test modules aren't a
+    package)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = osp_dirname(osp_dirname(osp_abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    result = subprocess.run(
+        [sys.executable, "-m", f"geometric_adv_tpu.cli.{module}", *args],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, (
+        f"{module} failed:\nSTDOUT:\n{result.stdout[-3000:]}\n"
+        f"STDERR:\n{result.stderr[-3000:]}"
+    )
+    return result.stdout
+
+
+from os.path import abspath as osp_abspath  # noqa: E402
+from os.path import dirname as osp_dirname  # noqa: E402
+from os.path import exists as osp_exists  # noqa: E402
+from os.path import join as osp_join  # noqa: E402
+
+GOLDEN_DIR = osp_join(osp_dirname(osp_abspath(__file__)), "golden")
+
+
+def test_imported_tf_victim_attack_replay(tmp_path):
+    """The full rehearsal for replaying the reference's pretrained tree
+    (VERDICT r3 #8): write a reference-format TF1 victim checkpoint, import
+    it (train/import_tf.py), produce the eval artifacts with the IMPORTED
+    weights (tst_ae), and run the attack CLI against it — the resulting
+    adversarial_metrics are bit-compared to a checked-in golden. When the
+    real download_models_and_data.sh tree becomes available, only the
+    checkpoint source changes; every stage after the import is exercised
+    here exactly as it would run then."""
+    pytest.importorskip("tensorflow")
+    import tensorflow as tf
+
+    n_pts, enc, dec = 64, (8, 12, 6), (10, 64 * 3)
+    v = make_ref_vars(seed=17, enc=enc, dec=dec)
+    prefix = _write_tf1_checkpoint(
+        tf, v, str(tmp_path / "ref" / "models.ckpt-500")
+    )
+
+    d = str(tmp_path)
+    ae = "log/imported_victim"
+    train_dir = osp_join(d, ae)
+    conf = Configuration(
+        n_input=[n_pts, 3],
+        bneck_size=enc[-1],
+        encoder_filters=list(enc),
+        decoder_sizes=list(dec[:-1]),
+        batch_size=8,
+        train_dir=train_dir,
+        saver_step=None,
+        class_names=["sphere", "cube", "torus"],
+    )
+    path, epoch = import_reference_checkpoint(prefix, train_dir, conf=conf)
+    assert epoch == 500
+    conf.save(osp_join(train_dir, "configuration"))
+
+    common = ["--project_dir", d]
+    _run_cli("make_synthetic_data", *common, "--data_folder", "data/tiny",
+             "--class_names", "sphere", "cube", "torus",
+             "--n_per_class", "40", "--n_points", str(n_pts))
+    _run_cli("tst_ae", *common, "--data_folder", "data/tiny",
+             "--train_folder", ae, "--restore_epoch", "500")
+    _run_cli("prepare_indices_for_attack", *common, "--ae_folder", ae,
+             "--get_rand_idx", "1", "--get_latent_nn_idx", "1",
+             "--get_chamfer_nn_idx", "1", "--num_instance_per_class", "4")
+    sel = f"{ae}/eval/sel_idx_rand_4_test_set_13l.npy"
+    _run_cli("run_attack", *common, "--ae_folder", ae,
+             "--attack_pc_idx", sel, "--num_pc_for_attack", "2",
+             "--num_pc_for_target", "2", "--num_iterations", "5",
+             "--num_iterations_thresh", "3", "--use_mesh", "0")
+
+    src = osp_join(d, ae, "eval", "attack_res", "sphere",
+                   "adversarial_metrics.npy")
+    m = np.load(src)
+    assert m.shape == (1, 8, 5) and np.isfinite(m).all()
+
+    import os
+    import shutil
+
+    name = "adversarial_metrics_imported_tf_sphere.npy"
+    golden = osp_join(GOLDEN_DIR, name)
+    if os.environ.get("UPDATE_GOLDENS"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        shutil.copy(src, golden)
+        pytest.skip("golden regenerated — rerun to compare")
+    if not osp_exists(golden):
+        pytest.skip("no golden checked in")
+    np.testing.assert_array_equal(
+        np.load(src), np.load(golden),
+        err_msg=f"golden drift in {name} (attack replay from an "
+        "imported reference-TF checkpoint)",
+    )
