@@ -300,3 +300,40 @@ def test_v2_forward_kernel_interpret_mode(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2_ref))
     np.testing.assert_allclose(np.asarray(dv1), np.asarray(d1_ref), atol=1e-8)
     np.testing.assert_allclose(np.asarray(dv2), np.asarray(d2_ref), atol=1e-8)
+
+
+def test_hier_kernel_interpret_mode(rng):
+    """The hierarchical (block-bound pruned) forward — a documented
+    NEGATIVE perf result kept in-tree (chamfer_hier_kernel.py docstring:
+    ~15x slower than v2 at [250, 2048^2] on the v5e) — must stay EXACT:
+    values match brute force and indices keep first-occurrence tie
+    semantics through the Morton sort round trip (original-id tie
+    bookkeeping in-kernel)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geometric_adv_tpu.ops.pallas.chamfer_hier_kernel import (
+        nn_distance_hier,
+    )
+
+    b, n, m = 3, 300, 257  # awkward non-multiples: exercises padding
+    x = (rng.rand(b, n, 3) - 0.5).astype(np.float32)
+    y = (rng.rand(b, m, 3) - 0.5).astype(np.float32)
+    # exact duplicates: first-occurrence ties in both directions, across
+    # the sort permutation
+    y[0, 100] = y[0, 7]
+    y[1, 5] = y[1, 200]
+    x[2, 50] = x[2, 3]
+    x[0, 10] = y[0, 7]  # a zero-distance pair
+
+    d1_ref, i1_ref, d2_ref, i2_ref = nn_distance_np(x, y)
+
+    with pltpu.force_tpu_interpret_mode():
+        d1, i1, d2, i2 = jax.jit(nn_distance_hier)(x, y)
+
+    # 1e-8 bar as in the other interpret-mode tests (FMA contraction in
+    # the interpreter); on TPU hardware the drive scripts measured the
+    # values bit-equal to v2's
+    np.testing.assert_allclose(np.asarray(d1), d1_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d2), d2_ref, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(i1), i1_ref)
+    np.testing.assert_array_equal(np.asarray(i2), i2_ref)
