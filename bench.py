@@ -103,6 +103,24 @@ TRAIN_BATCH = 50
 # formulation has no size limit.
 EMD_BATCH = 50
 EMD_POINTS = 2048
+# Shape for the vs-baseline EMD comparison: the largest the reference's
+# CUDA kernel can run (m <= 1024), so the ratio compares real capability.
+EMD_POINTS_REF = 1024
+
+# Baseline estimate for the reference's CUDA EMD training-loss step on a
+# V100 at [50, 1024, 1024] — approx_match (10 auction rounds x 3 full n*m
+# sweeps each, distance+exp recomputed per sweep, <<<32,512>>> launch =
+# 32 blocks on 80 SMs ~ 10% occupancy: approxmatch.cu:92-93) + matchcost
+# (1 sweep) + matchcostgrad (2 sweeps) ~ 33 sweeps x ~18 flop/elem
+# ~ 0.6 GFLOP/cloud -> 30 GFLOP/batch-50. Band edges on delivered FLOPs
+# for a 10%-occupancy exp-heavy kernel + TF1 session overhead:
+# - fast edge 10 ms/batch (~3 TF delivered, generous): 5000 clouds/s;
+# - point    19 ms/batch (~1.6 TF = occupancy-scaled peak): 2630 clouds/s;
+# - slow edge 60 ms/batch (~0.5 TF, latency/launch-bound): 833 clouds/s.
+# Like BASELINE_PAIR_ITERS_PER_SEC this is an ESTIMATE (the reference
+# publishes no EMD throughput); every emd vs_baseline carries its band.
+EMD_BASELINE_CLOUDS_PER_SEC = 2630.0
+EMD_BASELINE_MS_PER_BATCH_BAND = (10.0, 60.0)
 
 
 def _log(msg):
@@ -534,20 +552,23 @@ def bench_train_ae():
     return float(np.median(rates))
 
 
-def bench_emd_train_loss():
+def bench_emd_train_loss(n_points=EMD_POINTS):
     """EMD (approx-match) training-loss throughput, clouds/s/chip.
 
     Times value_and_grad of the fused EMD loss (ops/emd.py::emd_loss_fused —
-    the AE training path: per-round matvec decomposition, no [b,n,m] match
-    residual) at [EMD_BATCH, EMD_POINTS, EMD_POINTS] — a shape the
-    reference's CUDA kernel cannot run at all (m<=1024 hard limit).
+    the AE training path: per-round matvec decomposition with in-round
+    distance recompute, no [b,n,m] match residual). Run at two shapes:
+    [EMD_BATCH, EMD_POINTS_REF^2] for the vs-baseline ratio (the largest
+    shape the reference's CUDA kernel supports) and
+    [EMD_BATCH, EMD_POINTS^2] — which the reference cannot run at all
+    (m<=1024 hard limit, approxmatch.cu:1-3).
     """
     import jax
     import jax.numpy as jnp
 
     from geometric_adv_tpu.ops.emd import emd_loss_fused
 
-    b, n = EMD_BATCH, EMD_POINTS
+    b, n = EMD_BATCH, n_points
 
     @jax.jit
     def loss_and_grad(pred, gt):
@@ -734,6 +755,23 @@ def main():
         )
     except Exception as e:
         _log(f"bench: emd metric failed: {type(e).__name__}: {e}")
+    try:
+        # vs-baseline shape: the largest the reference's CUDA EMD supports
+        emd_ref = bench_emd_train_loss(n_points=EMD_POINTS_REF)
+        extras["emd_train_loss_clouds_per_sec_1024pts"] = round(emd_ref, 1)
+        extras["emd_vs_baseline"] = round(
+            emd_ref / EMD_BASELINE_CLOUDS_PER_SEC, 2
+        )
+        fast_ms, slow_ms = EMD_BASELINE_MS_PER_BATCH_BAND
+        extras["emd_vs_baseline_range"] = [
+            round(emd_ref / (EMD_BATCH * 1000.0 / fast_ms), 2),
+            round(emd_ref / (EMD_BATCH * 1000.0 / slow_ms), 2),
+        ]
+        extras["emd_baseline_ms_per_batch_band"] = list(
+            EMD_BASELINE_MS_PER_BATCH_BAND
+        )
+    except Exception as e:
+        _log(f"bench: emd 1024 metric failed: {type(e).__name__}: {e}")
 
     flops = pair_iters_per_sec * FLOPS_PER_PAIR_ITER
     extras["est_tflops"] = round(flops / 1e12, 2)

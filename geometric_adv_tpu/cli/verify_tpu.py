@@ -26,7 +26,12 @@ Checks:
    bit-identical to the flax apply, input gradient == dense autodiff at f32
    matmul precision up to summation order;
 6. short attack run: sparse-vs-dense encoder-VJP trajectories agree and the
-   TPU auto-routing actually selects the sparse path.
+   TPU auto-routing actually selects the sparse path;
+7. AttackRunner's one-shot on-chip chamfer-impl calibration runs and routes
+   the measured winner;
+8. EMD: the fused sweep (``emd_loss_fused``, per-round distance recompute)
+   matches the composed ``match_cost(approx_match(...))`` path in value AND
+   gradient on real TPU arithmetic (the CPU suite only pins XLA:CPU).
 """
 
 from __future__ import annotations
@@ -301,6 +306,46 @@ def main() -> None:
         )
     finally:
         chamfer_mod.FUSED_LOSS_ENABLED = prev_fused
+
+    # --- 8: EMD fused sweep vs composed approx_match+match_cost on TPU ---
+    # The CPU suite asserts this equality in XLA:CPU arithmetic only; on
+    # TPU the fused sweep's per-round distance recompute (ops/emd.py) gets
+    # fused differently by XLA:TPU, so the agreement must be pinned on the
+    # real chip. Unequal n/m exercises the integer multipliers.
+    from geometric_adv_tpu.ops.emd import (
+        approx_match,
+        emd_loss_fused,
+        match_cost,
+    )
+
+    xe1 = jnp.asarray(rng.rand(4, 512, 3).astype(np.float32) - 0.5)
+    xe2 = jnp.asarray(rng.rand(4, 448, 3).astype(np.float32) - 0.5)
+
+    def composed_emd(p):
+        return match_cost(p, xe2, approx_match(p, xe2))
+
+    vf_e = np.asarray(jax.jit(emd_loss_fused)(xe1, xe2))
+    vc_e = np.asarray(jax.jit(composed_emd)(xe1))
+    rel_e = float(np.max(np.abs(vf_e - vc_e) / np.maximum(np.abs(vc_e), 1e-9)))
+    _check(
+        "EMD fused sweep == composed approx_match+match_cost (value, 1e-4)",
+        rel_e <= 1e-4,
+        f"max rel={rel_e:.3g}",
+    )
+
+    gf_e = np.asarray(
+        jax.jit(jax.grad(lambda p: jnp.sum(emd_loss_fused(p, xe2))))(xe1)
+    )
+    gc_e = np.asarray(
+        jax.jit(jax.grad(lambda p: jnp.sum(composed_emd(p))))(xe1)
+    )
+    scale_e = max(float(np.max(np.abs(gc_e))), 1e-9)
+    grel_e = float(np.max(np.abs(gf_e - gc_e))) / scale_e
+    _check(
+        "EMD fused sweep gradient == composed (rel 5e-4)",
+        grel_e <= 5e-4,
+        f"max rel={grel_e:.3g}",
+    )
 
     print(
         f"\n{'ALL CHECKS PASSED' if not _FAILURES else 'FAILURES: ' + ', '.join(_FAILURES)}",

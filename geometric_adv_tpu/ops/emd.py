@@ -48,6 +48,23 @@ Array = jax.Array
 _LEVELS = tuple([-(4.0**j) for j in range(7, -3, -1)][:-1] + [0.0])
 
 
+def _sqdist_planes(xyz1: Array, xyz2: Array) -> Array:
+    """[n, 3], [m, 3] -> [n, m] squared distances as three broadcast planes.
+
+    Same values as ``pairwise_sqdist(..., "direct")`` without the [n, m, 3]
+    difference intermediate — called INSIDE each auction round so XLA fuses
+    the distance computation into the round's exp/matvec sweep instead of
+    streaming a materialized [n, m] plane from HBM every round (recompute
+    is cheaper than streaming on the v5e: 6 VPU ops/elem vs 4 HBM
+    bytes/elem; measured on the fused train-loss path at [20, 2048^2]:
+    1.57x at default matmul precision, 1.15x net with the gradient
+    contractions pinned to HIGHEST)."""
+    dx = xyz1[:, 0:1] - xyz2[None, :, 0]
+    dy = xyz1[:, 1:2] - xyz2[None, :, 1]
+    dz = xyz1[:, 2:3] - xyz2[None, :, 2]
+    return dx * dx + dy * dy + dz * dz
+
+
 def _approx_match_single(xyz1: Array, xyz2: Array) -> Array:
     """Match matrix for one pair of clouds: [n, 3], [m, 3] -> [m, n]."""
     n = xyz1.shape[0]
@@ -59,13 +76,12 @@ def _approx_match_single(xyz1: Array, xyz2: Array) -> Array:
     else:
         mult_l, mult_r = float(m // n), 1.0
 
-    sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [n, m]
     levels = jnp.asarray(_LEVELS, dtype=xyz1.dtype)
 
     def round_fn(i, state):
         match, remain_l, remain_r = state
         level = levels[i]
-        k = jnp.exp(level * sqd)  # [n, m]
+        k = jnp.exp(level * _sqdist_planes(xyz1, xyz2))  # [n, m]
 
         # Row pass: ratioL[k] = remainL[k] / (1e-9 + sum_l K[k,l]*remainR[l])
         suml = k @ remain_r + 1e-9
@@ -135,8 +151,22 @@ def _match_cost_bwd(res, g):
     sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [..., n, m]
     inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
     w = jnp.swapaxes(match, -1, -2) * inv_d  # [..., n, m]
-    wx2 = jnp.einsum("...nm,...mc->...nc", w, xyz2, preferred_element_type=jnp.float32)
-    wx1 = jnp.einsum("...nm,...nc->...mc", w, xyz1, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the grad forms ``rowsum(w)*x - w@y`` CANCEL when
+    # the match concentrates on nearby points (x ~ nn(x)), so the TPU's
+    # default-bf16 contraction rounding (~0.4% per product) amplifies to
+    # ~20% relative on the cancelled components (measured on-device,
+    # verify_tpu check 8b). These are thin [n,m]x[m,3] contractions —
+    # HIGHEST costs nothing next to the [n,m] exp sweeps.
+    wx2 = jnp.einsum(
+        "...nm,...mc->...nc", w, xyz2,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    wx1 = jnp.einsum(
+        "...nm,...nc->...mc", w, xyz1,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     grad1 = jnp.sum(w, axis=-1)[..., None] * xyz1 - wx2
     grad2 = jnp.sum(w, axis=-2)[..., None] * xyz2 - wx1
     gexp = g[..., None, None]
@@ -158,6 +188,19 @@ def _emd_sweep_single(xyz1: Array, xyz2: Array, want_grads: bool):
 
     This halves HBM traffic vs approx_match+match_cost (no [n, m] match
     accumulator read/write per round, no match residual in the VJP).
+
+    The distance planes are RECOMPUTED inside every round from the [n, 3]
+    coordinates (explicit 3-plane broadcast-difference form,
+    ``_sqdist_planes``) instead of materializing one [n, m] ``sqd`` plane
+    that every round re-streams from HBM: XLA then fuses dist+exp+matvec
+    into each round's sweep. Recompute is cheaper than streaming on the
+    v5e (6 VPU ops/elem vs 4 HBM bytes/elem) — measured at
+    [20, 2048, 2048] value+grad: 62.7 -> 39.9 ms/batch (1.57x) at default
+    matmul precision, 54.4 ms (1.15x) once the gradient contractions are
+    pinned to HIGHEST (required for on-device correctness, see the in-round
+    comment; values bit-equal throughout). This is the "level-tiled" hoist
+    in spirit: the plane never exists in HBM, so there is nothing left to
+    tile — a Pallas round kernel was scoped and rejected (DESIGN.md §2/§3).
     """
     n, m = xyz1.shape[0], xyz2.shape[0]
     if n >= m:
@@ -165,13 +208,13 @@ def _emd_sweep_single(xyz1: Array, xyz2: Array, want_grads: bool):
     else:
         mult_l, mult_r = float(m // n), 1.0
 
-    sqd = pairwise_sqdist(xyz1, xyz2, method="direct")  # [n, m]
-    d = jnp.sqrt(sqd)
-    inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
     levels = jnp.asarray(_LEVELS, dtype=xyz1.dtype)
 
     def round_fn(i, state):
         cost, g1, g2, remain_l, remain_r = state
+        sqd = _sqdist_planes(xyz1, xyz2)  # fused into this round's sweep
+        d = jnp.sqrt(sqd)
+        inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
         k = jnp.exp(levels[i] * sqd)
 
         suml = k @ remain_r + 1e-9
@@ -183,14 +226,23 @@ def _emd_sweep_single(xyz1: Array, xyz2: Array, want_grads: bool):
         # cost increment (w = k * ratio_l (x) ratio_r; sum w * d)
         cost = cost + ratio_l @ ((k * d) @ ratio_r)
         if want_grads:
+            # HIGHEST precision on the gradient contractions: the
+            # ``x*s0 - s1`` forms cancel on concentrated matches, where the
+            # TPU default-bf16 matvec rounding amplifies to ~20% relative
+            # (measured on-device; see _match_cost_bwd) — thin matvecs, so
+            # the precision costs nothing next to the exp sweep.
+            hp = jax.lax.Precision.HIGHEST
             mm = k * inv_d
-            s0 = mm @ ratio_r  # [n]
-            s1 = mm @ (ratio_r[:, None] * xyz2)  # [n, 3]
+            s0 = jnp.einsum("nm,m->n", mm, ratio_r, precision=hp)
+            s1 = jnp.einsum(
+                "nm,mc->nc", mm, ratio_r[:, None] * xyz2,
+                preferred_element_type=jnp.float32, precision=hp,
+            )
             g1 = g1 + ratio_l[:, None] * (xyz1 * s0[:, None] - s1)
-            t0 = ratio_l @ mm  # [m]
+            t0 = jnp.einsum("n,nm->m", ratio_l, mm, precision=hp)
             t1 = jnp.einsum(
                 "n,nm,nc->mc", ratio_l, mm, xyz1,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=hp,
             )
             g2 = g2 + ratio_r[:, None] * (xyz2 * t0[:, None] - t1)
 
