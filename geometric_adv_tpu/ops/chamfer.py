@@ -200,20 +200,26 @@ FUSED_LOSS_ENABLED = True
 
 
 def _fused_loss_supported(n: int) -> bool:
-    # Auto-routing uses the fused kernel only for n <= 1024. A 2-subtile
-    # variant exists for n <= 2048 (chamfer_loss_kernel._loss_kernel_2n,
-    # exact incl. cross-subtile ties) but measured 35-40% SLOWER than the
-    # composed path at [250, 2048^2] in BOTH rounds' sessions (r2: 3.9k vs
-    # 5.7k; r3: 3.3k vs 5.6k pair-iters/s) — callers wanting it can use
-    # _chamfer_per_pc_fused directly.
+    # Auto-routing allows the fused kernel for n <= 2048 (the single-tile
+    # kernel for n <= 1024, the 2-subtile variant above that). The 2-subtile
+    # path was 35-40% slower than composed in rounds 2-3 (tile_m=512); the
+    # round-4 wide-m retune (chamfer_loss_kernel.TILE_M_2N=2048,
+    # vmem_limit 100M) cut it 45% (23.1 -> 12.8 ms/call at [250, 2048^2],
+    # bit-exact), putting it ahead of the composed fwd+bwd pair (~15 ms
+    # same-session) — so the gate now admits it and the per-session
+    # on-chip calibration (attack/core.py::_calibrate_chamfer_impl,
+    # bench.py's autotune) decides fused-vs-composed at EVERY shape.
     #
-    # NOTE the n<=1024 fused-vs-composed ordering is CHIP-STATE DEPENDENT:
-    # round-2 sessions measured fused +4-5%; the 2026-08-17 session measured
-    # composed +32% (16.5k vs 12.5k) with the fused kernel itself running at
-    # full VPU rate — the difference is scheduling/pipelining against the
-    # encoder backward, not kernel quality. bench.py autotunes the flag per
-    # session; FUSED_LOSS_ENABLED is the escape hatch for pipelines.
-    return FUSED_LOSS_ENABLED and max(n, 256) <= 1024
+    # NOTE the fused-vs-composed ordering is CHIP-STATE DEPENDENT and
+    # WORKLOAD-LEVEL DEPENDENT: round-2 sessions measured fused +4-5% at
+    # 1024; the 2026-08-17 session measured composed +32% there; and the
+    # 2026-08-19 ATTACK-level A/B at 2048 measured composed 13.2k vs fused
+    # 7.1k pair-iters/s even with the retuned kernel ahead in isolation —
+    # the gap is scheduling/pipelining against the encoder backward, not
+    # kernel quality, which is exactly why the calibrator times the real
+    # attack step rather than the kernel. FUSED_LOSS_ENABLED is the escape
+    # hatch for pipelines.
+    return FUSED_LOSS_ENABLED and max(n, 256) <= 2048
 
 
 @jax.custom_vjp

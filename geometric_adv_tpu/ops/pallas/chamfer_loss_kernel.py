@@ -66,6 +66,22 @@ _IDX_BIAS = 1 << 23
 # documented variant; default stays the VPU masked reductions.
 PAYLOAD_VIA_MXU = False
 
+# m-tile width for the n_pad=2048 two-subtile kernel. The forward argmin
+# kernel won +18% from full-width m at 2048 (chamfer_kernel_v2._pick_tile_m),
+# so the same sweep is exposed here; the live [1024, MT] distance subtiles
+# cost ~2*MT*4KB of scoped VMEM each plus Mosaic temporaries, so wider
+# tiles need a bigger vmem_limit (VMEM_LIMIT_2N).
+#
+# Round-4 on-device sweep at [250, 2048^2], bit-exact vs the v2 argmin
+# kernel at every width (2026-08-19 session):
+#   tile_m=512/32M 23.03 ms | 1024/64M 15.00 ms | 2048/100M 12.81 ms
+# Full-width m wins for the same reason as the forward kernel: one grid
+# step per batch element amortizes the [NT, MT] distance rebuild across
+# both subtiles and drops the per-step Mosaic prologue. 100M VMEM fits
+# (v5e has 128M/core; the live set is ~2 subtile planes + payloads).
+TILE_M_2N = 2048
+VMEM_LIMIT_2N = 100 * 1024 * 1024
+
 
 def _payload_contract(mask, yt8):
     """[NT, MT] 0/1 mask x [8, MT] coord rows -> [NT, 8] via the MXU."""
@@ -336,7 +352,8 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
     # widest m-tile the VMEM budget allows (measured: tile_m=1024 beats
     # 512/256 at n=1024 — grid-step overhead dominates smaller tiles);
     # n_pad=2048 runs the 2-subtile kernel whose big arrays are [1024, MT]
-    tile_m = 1024 if n_pad <= 1024 else 512
+    # (TILE_M_2N: round-4 sweep — see the module tunable below).
+    tile_m = 1024 if n_pad <= 1024 else TILE_M_2N
     while m_pad % tile_m:
         tile_m //= 2
     if n_pad != n:
@@ -390,7 +407,7 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
         # hardware cap; n_pad=2048 needs ~17M of live [NT, MT] temps.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(
-                None if n_pad <= 1024 else 32 * 1024 * 1024
+                None if n_pad <= 1024 else VMEM_LIMIT_2N
             ),
         ),
         cost_estimate=pl.CostEstimate(

@@ -9,10 +9,12 @@ suite instead of the round.
 import json
 
 import numpy as np
+import pytest
 
 import bench
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_bench_attack_and_extras_tiny(monkeypatch):
     monkeypatch.setattr(bench, "N_POINTS", 32)
     monkeypatch.setattr(bench, "BATCH_PAIRS", 4)
@@ -43,10 +45,12 @@ def test_bench_attack_and_extras_tiny(monkeypatch):
 
     monkeypatch.setattr(bench, "EMD_BATCH", 2)
     monkeypatch.setattr(bench, "EMD_POINTS", 16)
+    monkeypatch.setattr(bench, "EMD_POINTS_REF", 24)
     emd_rate = bench.bench_emd_train_loss()
     assert np.isfinite(emd_rate) and emd_rate > 0
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "N_POINTS", 32)
     monkeypatch.setattr(bench, "BATCH_PAIRS", 4)
@@ -62,6 +66,7 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "TRAIN_BATCH", 4)
     monkeypatch.setattr(bench, "EMD_BATCH", 2)
     monkeypatch.setattr(bench, "EMD_POINTS", 16)
+    monkeypatch.setattr(bench, "EMD_POINTS_REF", 24)
     monkeypatch.setattr(bench, "_retry", lambda fn, what, delays=(): fn())
     monkeypatch.setattr(bench, "probe_chip_state", lambda: 1.0)
     monkeypatch.setattr(bench, "probe_chip_state_vpu", lambda: 1.0)
@@ -80,6 +85,9 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     rec = json.loads(out[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline", "extras"}
     assert rec["value"] > 0
+    # the EMD baseline comparison must land with its sensitivity band
+    assert "emd_vs_baseline" in rec["extras"]
+    assert "emd_vs_baseline_range" in rec["extras"]
 
 
 def test_bench_main_outage_mode_still_prints_record(monkeypatch, capsys):

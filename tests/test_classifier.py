@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from geometric_adv_tpu.classify import ClassifierTrainer
 from geometric_adv_tpu.data.synthetic import make_dataset
@@ -79,6 +80,7 @@ def test_bn_momentum_override_updates_running_stats():
     assert np.abs(m_low).mean() > 10 * np.abs(m_high).mean()
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_classifier_learns_synthetic_classes():
     pcs, _, labels, _ = make_dataset(
         class_names=("sphere", "plane_xy", "helix"), n_per_class=16,
@@ -93,6 +95,7 @@ def test_classifier_learns_synthetic_classes():
     assert acc > 0.8, acc
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_classifier_checkpoint_roundtrip(tmp_path):
     pcs, _, labels, _ = make_dataset(
         class_names=("sphere", "cube"), n_per_class=8, n_points=32

@@ -3,6 +3,7 @@ external-binary metro pipeline (trainer_loss.py:60-101, metro.py:14-32)."""
 
 import jax
 import numpy as np
+import pytest
 
 from geometric_adv_tpu.transfer import AtlasNetTrainer
 from geometric_adv_tpu.transfer.metro import (
@@ -78,6 +79,7 @@ def test_merge_patch_meshes_offsets_faces():
     np.testing.assert_array_equal(merged, [[0, 1, 2], [4, 5, 6]])
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_atlasnet_mesh_and_metro_eval():
     trainer = AtlasNetTrainer(
         number_points=64,

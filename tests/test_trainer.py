@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from geometric_adv_tpu.data import PointCloudDataSet
 from geometric_adv_tpu.data.synthetic import make_dataset
@@ -145,6 +146,7 @@ def test_embedding_at_layer(tmp_path):
     assert pre.shape == (6, 64, 16)
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_denoising_training_with_augmentations(tmp_path):
     """Denoising AE path: gauss_augment corrupts the input, loss targets the
     clean original (reference: src/pointnet_ae.py:116-127,
@@ -215,6 +217,7 @@ def test_device_augment_matches_host_semantics(rng):
     assert abs(noisy.std() - 0.02) < 1e-3
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_augmented_training_uses_scan_path(tmp_path):
     """Augmented configs must keep the one-dispatch-per-epoch scan path and
     still learn; the host per-step path remains available via

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from geometric_adv_tpu.models.atlasnet import (
     AtlasNet,
@@ -83,6 +84,7 @@ def test_foldingnet_shapes(rng):
     assert code.shape == (2, 512)
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_atlasnet_trainer_learns(rng):
     pcs = (rng.rand(16, 64, 3).astype(np.float32) - 0.5) * 0.8
     tr = AtlasNetTrainer(
@@ -96,6 +98,7 @@ def test_atlasnet_trainer_learns(rng):
     assert recon.shape == (3, 128, 3)
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_foldingnet_trainer_smoke(rng):
     pcs = (rng.rand(8, 64, 3).astype(np.float32) - 0.5) * 0.8
     tr = FoldingNetTrainer(

@@ -3,6 +3,7 @@
 import io
 
 import numpy as np
+import pytest
 
 from geometric_adv_tpu.utils import artifact_name, load_data, save_artifact
 from geometric_adv_tpu.utils.profiling import ThroughputMeter
@@ -77,6 +78,7 @@ def test_host_local_batch_to_global(rng):
     np.testing.assert_array_equal(np.asarray(arr), local)
 
 
+@pytest.mark.slow  # trainer/e2e smoke: full gate only
 def test_plot_helpers_write_files(tmp_path, rng):
     """Smoke: the three report-plot helpers produce image files headlessly
     (reference: src/general_utils.py:168-223, evaluate_attack.py:232-327)."""
