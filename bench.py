@@ -203,6 +203,12 @@ def _print_outage_record():
     )
 
 
+# chamfer routing bound by the most recent bench_attack's runner — "fused"
+# / "composed" (forced arm or on-chip calibration decision); recorded in
+# extras for the 2048-pt runs, whose routing is per-shape
+LAST_ATTACK_IMPL = None
+
+
 def bench_attack(
     ae_dtype="float32",
     fused=None,
@@ -232,14 +238,12 @@ def bench_attack(
     n_pairs = batch_pairs or BATCH_PAIRS
     iters = num_iters or NUM_ITERS
 
-    if fused is not None:
-        import geometric_adv_tpu.attack.core as _attack_core
-        import geometric_adv_tpu.ops.chamfer as _chamfer_mod
-
-        _chamfer_mod.FUSED_LOSS_ENABLED = bool(fused)
-        # bench runs its own fused/composed autotune; AttackRunner's on-chip
-        # calibration must not override the forced arm
-        _attack_core.CALIBRATE_CHAMFER_IMPL = False
+    # bench runs its own per-shape fused/composed autotune, so each arm is
+    # bound explicitly on the runner (skips its on-chip calibration); no
+    # process globals are touched
+    chamfer_impl = (
+        "auto" if fused is None else ("fused" if fused else "composed")
+    )
 
     from geometric_adv_tpu.attack.core import AttackRunner
     from geometric_adv_tpu.parallel import get_mesh
@@ -269,8 +273,12 @@ def bench_attack(
     trainer = AETrainer(conf)
     runner = AttackRunner(
         trainer.model, trainer.state.params, trainer.state.batch_stats, conf,
-        mesh=mesh,
+        mesh=mesh, chamfer_impl=chamfer_impl,
     )
+    global LAST_ATTACK_IMPL
+    LAST_ATTACK_IMPL = runner.chamfer_method
+    if fused is None:
+        _log(f"bench: attack chamfer routing -> {runner.chamfer_method}")
 
     def make_inputs(seed):
         """Fresh random pair inputs, staged onto the device(s).
@@ -552,8 +560,12 @@ def bench_train_ae():
     return float(np.median(rates))
 
 
-def bench_emd_train_loss(n_points=EMD_POINTS):
+def bench_emd_train_loss(n_points=None):
     """EMD (approx-match) training-loss throughput, clouds/s/chip.
+
+    ``n_points=None`` resolves the module global EMD_POINTS at CALL time
+    (a default-arg binding would freeze it at import and silently ignore
+    the test suite's monkeypatching).
 
     Times value_and_grad of the fused EMD loss (ops/emd.py::emd_loss_fused —
     the AE training path: per-round matvec decomposition with in-round
@@ -568,7 +580,7 @@ def bench_emd_train_loss(n_points=EMD_POINTS):
 
     from geometric_adv_tpu.ops.emd import emd_loss_fused
 
-    b, n = EMD_BATCH, n_points
+    b, n = EMD_BATCH, (n_points or EMD_POINTS)
 
     @jax.jit
     def loss_and_grad(pred, gt):
@@ -713,21 +725,29 @@ def main():
     except Exception as e:  # secondary metric must not sink the record
         _log(f"bench: chamfer matrix metric failed: {type(e).__name__}: {e}")
     try:
+        # fused=None: bf16 AE compute changes the scheduling the chamfer
+        # routing is sensitive to, so calibrate at this config too
         extras["attack_pair_iters_bf16_encoder"] = round(
-            bench_attack(ae_dtype="bfloat16", fused=winner_fused), 1
+            bench_attack(ae_dtype="bfloat16", fused=None), 1
         )
     except Exception as e:
         _log(f"bench: bf16 attack metric failed: {type(e).__name__}: {e}")
     try:
+        # fused=None: the 1024-pt winner must NOT be forced here — the two
+        # implementations' ordering is SHAPE-dependent (fused won several
+        # 1024 sessions while composed won every 2048 measurement by ~2x),
+        # so the 2048 runs route via the runner's own on-chip calibration
+        # at this exact shape; extras record its decision
         extras["attack_pair_iters_2048pts"] = round(
             bench_attack(
-                fused=winner_fused,
+                fused=None,
                 n_points=N_POINTS_REF,
                 batch_pairs=BATCH_PAIRS_REF,
                 num_iters=NUM_ITERS_REF,
             ),
             1,
         )
+        extras["attack_2048pts_impl"] = LAST_ATTACK_IMPL
     except Exception as e:
         _log(f"bench: 2048 attack metric failed: {type(e).__name__}: {e}")
     try:
@@ -736,7 +756,7 @@ def main():
         extras["attack_pair_iters_2048pts_bf16_encoder"] = round(
             bench_attack(
                 ae_dtype="bfloat16",
-                fused=winner_fused,
+                fused=None,
                 n_points=N_POINTS_REF,
                 batch_pairs=BATCH_PAIRS_REF,
                 num_iters=NUM_ITERS_REF,

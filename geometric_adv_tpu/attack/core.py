@@ -124,8 +124,14 @@ def make_attack_loss(
     ae_loss_type: str,
     max_point_pert_weight: float,
     max_point_dist_weight: float,
+    chamfer_method: str = "auto",
 ):
     """Build the attack's (total_loss, metrics) function of the perturbation.
+
+    ``chamfer_method`` ("auto" | "fused" | "composed") binds the chamfer
+    fused-vs-composed routing into the traced program (ops/chamfer.py::
+    chamfer_loss_per_pc) — AttackRunner passes its per-runner calibration
+    decision here so two runners in one process route independently.
 
     reference: src/adv_ae.py:78-142.
     """
@@ -133,7 +139,7 @@ def make_attack_loss(
     def ae_loss_per_pc(recon, gt):
         if ae_loss_type == "chamfer":
             # fused loss+grad-payload kernel on TPU (ops/chamfer.py)
-            return chamfer_loss_per_pc(recon, gt)
+            return chamfer_loss_per_pc(recon, gt, method=chamfer_method)
         # EMD variant via the fused sweep (differentiable cost)
         return emd_loss_fused(recon, gt)
 
@@ -157,12 +163,15 @@ def make_attack_loss(
             both = chamfer_loss_per_pc(
                 jnp.concatenate([recon, adv], axis=0),
                 jnp.concatenate([gt, x], axis=0),
+                method=chamfer_method,
             )
             t_re, input_dist_per_pc = jnp.split(both, 2, axis=0)
             max_dist_per_pc = input_dist_per_pc  # unused (weight 0)
         elif ae_loss_type == "chamfer" and max_point_dist_weight == 0.0:
-            t_re = chamfer_loss_per_pc(recon, gt)
-            input_dist_per_pc = chamfer_loss_per_pc(adv, x)
+            t_re = chamfer_loss_per_pc(recon, gt, method=chamfer_method)
+            input_dist_per_pc = chamfer_loss_per_pc(
+                adv, x, method=chamfer_method
+            )
             max_dist_per_pc = input_dist_per_pc  # unused (weight 0)
         elif ae_loss_type == "chamfer":
             t_re = ae_loss_per_pc(recon, gt)
@@ -232,6 +241,7 @@ def attack_batch(
     max_point_dist_weight: float = 0.0,
     pert_seed: int = 55,
     track_by: str = "t_re",
+    chamfer_method: str = "auto",
 ) -> AttackOutputs:
     """Run the full attack for one batch of pairs, all dist_weights at once.
 
@@ -247,6 +257,7 @@ def attack_batch(
     forward = make_attack_loss(
         encode, decode, loss_adv_type, loss_dist_type, ae_loss_type,
         max_point_pert_weight, max_point_dist_weight,
+        chamfer_method=chamfer_method,
     )
     thresh = max(num_iterations_thresh, 1)
 
@@ -309,7 +320,7 @@ def attack_batch(
     return jax.vmap(run_one_weight)(jnp.asarray(dist_weights, jnp.float32))
 
 
-def _calibrate_chamfer_impl(encode, decode, conf) -> bool:
+def _calibrate_chamfer_impl(encode, decode, conf, victim_sig=()) -> bool:
     """Measure both chamfer-loss implementations inside a real attack step
     on the live device and return True if the fused kernel wins.
 
@@ -319,16 +330,21 @@ def _calibrate_chamfer_impl(encode, decode, conf) -> bool:
     kernel itself at full VPU rate in the same session where the fused
     ATTACK lagged 46%, i.e. the difference lives in scheduling/pipelining
     against the encoder backward, which only the composite step exposes.
-    Decisions are cached per (shape, loss config) for the process lifetime.
+
+    ``victim_sig`` extends the cache key with the victim's identity (the
+    caller passes the param-tree shape/dtype signature): the measured gap
+    lives in scheduling against the ENCODER backward, so a decision made
+    against one victim must not be reused for a structurally different one.
+    Decisions are cached per (victim, shape, loss config) for the process
+    lifetime; each arm is bound explicitly via ``chamfer_method`` — no
+    process globals are read or written.
     """
     import time
-
-    import geometric_adv_tpu.ops.chamfer as chamfer_mod
 
     n = conf.n_input[0]
     m = conf.resolved_n_output()[0]
     key = (
-        n, m, conf.loss_adv_type, conf.loss_dist_type, conf.loss,
+        victim_sig, n, m, conf.loss_adv_type, conf.loss_dist_type, conf.loss,
         getattr(conf, "ae_dtype", "float32"),
     )
     if key in _CHAMFER_CALIB_CACHE:
@@ -337,35 +353,32 @@ def _calibrate_chamfer_impl(encode, decode, conf) -> bool:
     b = _CALIB_BATCH
     rng = np.random.RandomState(123)
     x = jnp.asarray(rng.rand(b, n, 3).astype(np.float32) - 0.5)
+    # gt is n-sized like production's target_pc (attack pairs are dataset
+    # clouds — pipeline.py::prepare_data_for_attack), so the measured
+    # recon-vs-gt chamfer runs at production's [m_out, n] shape.
     gt = jnp.asarray(rng.rand(b, n, 3).astype(np.float32) - 0.5)
     tz = jax.jit(encode)(gt)
     pert0 = init_pert((b, n, 3))
 
     def build_and_warm(fused):
-        # FUSED_LOSS_ENABLED is read at TRACE time, so the warmup call that
-        # triggers tracing must happen while the flag is set.
-        prev = chamfer_mod.FUSED_LOSS_ENABLED
-        chamfer_mod.FUSED_LOSS_ENABLED = fused
-        try:
-            forward = make_attack_loss(
-                encode, decode, conf.loss_adv_type, conf.loss_dist_type,
-                conf.loss, conf.max_point_pert_weight,
-                conf.max_point_dist_weight,
-            )
-            grad_fn = jax.grad(lambda *a: forward(*a)[0])
+        forward = make_attack_loss(
+            encode, decode, conf.loss_adv_type, conf.loss_dist_type,
+            conf.loss, conf.max_point_pert_weight,
+            conf.max_point_dist_weight,
+            chamfer_method="fused" if fused else "composed",
+        )
+        grad_fn = jax.grad(lambda *a: forward(*a)[0])
 
-            @jax.jit
-            def run(p0):
-                def step(p, _):
-                    g = grad_fn(p, x, tz, gt, jnp.float32(1.0))
-                    return p - 0.01 * g, None
+        @jax.jit
+        def run(p0):
+            def step(p, _):
+                g = grad_fn(p, x, tz, gt, jnp.float32(1.0))
+                return p - 0.01 * g, None
 
-                p, _ = jax.lax.scan(step, p0, None, length=_CALIB_ITERS)
-                return jnp.sum(p)
+            p, _ = jax.lax.scan(step, p0, None, length=_CALIB_ITERS)
+            return jnp.sum(p)
 
-            float(run(pert0))  # compile + warmup (inputs never timed)
-        finally:
-            chamfer_mod.FUSED_LOSS_ENABLED = prev
+        float(run(pert0))  # compile + warmup (inputs never timed)
         return run
 
     runs = {True: build_and_warm(True), False: build_and_warm(False)}
@@ -397,7 +410,15 @@ class AttackRunner:
     src/adversary.py:9-57).
     """
 
-    def __init__(self, model: PointNetAE, params, batch_stats, conf, mesh=None):
+    def __init__(
+        self,
+        model: PointNetAE,
+        params,
+        batch_stats,
+        conf,
+        mesh=None,
+        chamfer_impl: str = "auto",
+    ):
         self.model = model
         self.conf = conf
         self.mesh = mesh
@@ -439,19 +460,39 @@ class AttackRunner:
 
         import geometric_adv_tpu.ops.chamfer as _chamfer_mod
 
-        if (
+        if chamfer_impl in ("fused", "composed"):
+            # explicit forcing (CLI --chamfer_impl / bench arms): bind it,
+            # skip calibration
+            self.chamfer_method = chamfer_impl
+        elif (
             CALIBRATE_CHAMFER_IMPL
             and _chamfer_mod._on_tpu()
             and conf.loss == "chamfer"
-            and _chamfer_mod._fused_loss_supported(conf.n_input[0])
+            and _chamfer_mod._fused_loss_shape_ok(conf.n_input[0])
         ):
             # self-calibrating routing (VERDICT r3 #1-weak): the static
             # fused-for-n<=1024 default silently cost pipeline users up to
             # ~2x in composed-favoring sessions; measure both on the live
-            # chip once and route the winner. --chamfer_impl still forces.
-            _chamfer_mod.FUSED_LOSS_ENABLED = _calibrate_chamfer_impl(
-                encode, decode, conf
+            # chip once and route the winner. The decision is bound to THIS
+            # runner's traced program (chamfer_method below) rather than a
+            # process global, so later runners with other shapes/victims
+            # cannot flip it retroactively; the gate is shape-only so an
+            # earlier composed decision (or FUSED_LOSS_ENABLED=False from
+            # an unrelated caller) never disables a later calibration.
+            # The victim's param-tree signature keys the cache: the measured
+            # effect is scheduling against the encoder backward, so the
+            # decision must not be reused across different architectures.
+            victim_sig = tuple(
+                (tuple(leaf.shape), str(leaf.dtype))
+                for leaf in jax.tree.leaves(params)
             )
+            self.chamfer_method = (
+                "fused"
+                if _calibrate_chamfer_impl(encode, decode, conf, victim_sig)
+                else "composed"
+            )
+        else:
+            self.chamfer_method = "auto"
 
         self._attack_fn = jax.jit(
             partial(
@@ -466,6 +507,7 @@ class AttackRunner:
                 ae_loss_type=conf.loss,
                 max_point_pert_weight=conf.max_point_pert_weight,
                 max_point_dist_weight=conf.max_point_dist_weight,
+                chamfer_method=self.chamfer_method,
             )
         )
 

@@ -46,8 +46,8 @@ def main():
         choices=["auto", "fused", "composed"],
         help="chamfer-loss implementation: the fused Pallas loss+payload "
         "kernel vs the composed nn_distance path. Their ordering inverts "
-        "with chip state (DESIGN.md); 'auto' keeps the library routing "
-        "(fused for n<=1024)",
+        "with chip state (DESIGN.md); 'auto' runs the one-shot on-chip "
+        "calibration and binds the session winner to this runner",
     )
     parser.add_argument(
         "--encoder_vjp", type=str, default="auto",
@@ -70,13 +70,13 @@ def main():
 
     set_matmul_precision(flags.matmul_precision)
     if flags.chamfer_impl != "auto":
-        import geometric_adv_tpu.attack.core as attack_core
+        # a forced implementation also needs the GLOBAL routing pinned for
+        # any chamfer_loss_per_pc sites outside the runner's bound program
+        # (eval/metric paths); the runner itself gets the explicit
+        # chamfer_impl below, which skips calibration
         import geometric_adv_tpu.ops.chamfer as chamfer_mod
 
         chamfer_mod.FUSED_LOSS_ENABLED = flags.chamfer_impl == "fused"
-        # a forced implementation must not be overridden by the runner's
-        # on-chip calibration
-        attack_core.CALIBRATE_CHAMFER_IMPL = False
     if flags.encoder_vjp != "auto":
         import geometric_adv_tpu.models.sparse_encode as sparse_encode_mod
 
@@ -141,7 +141,7 @@ def main():
     victim = restore_victim(conf, ctx.ae_dir, flags.restore_epoch, mesh=mesh)
     runner = AttackRunner(
         victim.model, victim.state.params, victim.state.batch_stats, conf,
-        mesh=mesh,
+        mesh=mesh, chamfer_impl=flags.chamfer_impl,
     )
 
     for i, pc_class_name in ctx.classes_iter():

@@ -247,17 +247,16 @@ def main() -> None:
     import geometric_adv_tpu.attack.core as attack_core
     from geometric_adv_tpu.attack.core import AttackRunner
 
-    # keep the two arms on identical chamfer routing: the runner's on-chip
-    # calibration (checked separately below) must not flip mid-comparison
-    attack_core.CALIBRATE_CHAMFER_IMPL = False
     outs = {}
     for name, flag in (("sparse", True), ("dense", False)):
         prev = se.SPARSE_ENCODER_VJP
         se.SPARSE_ENCODER_VJP = flag
         try:
+            # force identical chamfer routing for both arms (an explicit
+            # impl skips the runner's on-chip calibration, checked below)
             runner = AttackRunner(
                 trainer.model, trainer.state.params,
-                trainer.state.batch_stats, conf,
+                trainer.state.batch_stats, conf, chamfer_impl="composed",
             )
         finally:
             se.SPARSE_ENCODER_VJP = prev
@@ -289,23 +288,24 @@ def main() -> None:
     )
 
     # --- 7: on-chip chamfer-impl calibration routes the session winner ---
-    attack_core.CALIBRATE_CHAMFER_IMPL = True
+    # The decision must be BOUND TO THE RUNNER (chamfer_method), not pushed
+    # into process globals: a second runner's calibration must not rewrite
+    # the first runner's routing.
     attack_core._CHAMFER_CALIB_CACHE.clear()
-    prev_fused = chamfer_mod.FUSED_LOSS_ENABLED
-    try:
-        AttackRunner(
-            trainer.model, trainer.state.params, trainer.state.batch_stats,
-            conf,
-        )
-        calibrated = len(attack_core._CHAMFER_CALIB_CACHE) == 1
-        decision = next(iter(attack_core._CHAMFER_CALIB_CACHE.values()), None)
-        _check(
-            "AttackRunner on-chip chamfer-impl calibration ran + routed",
-            calibrated and chamfer_mod.FUSED_LOSS_ENABLED == decision,
-            f"decision={'fused' if decision else 'composed'}",
-        )
-    finally:
-        chamfer_mod.FUSED_LOSS_ENABLED = prev_fused
+    runner7 = AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats,
+        conf,
+    )
+    calibrated = len(attack_core._CHAMFER_CALIB_CACHE) == 1
+    decision = next(iter(attack_core._CHAMFER_CALIB_CACHE.values()), None)
+    _check(
+        "AttackRunner on-chip chamfer-impl calibration ran + routed",
+        calibrated
+        and runner7.chamfer_method == ("fused" if decision else "composed")
+        and chamfer_mod.FUSED_LOSS_ENABLED,  # global untouched
+        f"decision={'fused' if decision else 'composed'}, "
+        f"bound={runner7.chamfer_method}",
+    )
 
     # --- 8: EMD fused sweep vs composed approx_match+match_cost on TPU ---
     # The CPU suite asserts this equality in XLA:CPU arithmetic only; on

@@ -199,6 +199,14 @@ def nn_distance_values(
 FUSED_LOSS_ENABLED = True
 
 
+def _fused_loss_shape_ok(n: int) -> bool:
+    """Shape-only support gate for the fused loss+payload kernel (the
+    single-tile kernel covers n <= 1024, the 2-subtile variant n <= 2048).
+    Deliberately independent of FUSED_LOSS_ENABLED so the attack runner's
+    calibration gate is not disabled by an earlier composed decision."""
+    return max(n, 256) <= 2048
+
+
 def _fused_loss_supported(n: int) -> bool:
     # Auto-routing allows the fused kernel for n <= 2048 (the single-tile
     # kernel for n <= 1024, the 2-subtile variant above that). The 2-subtile
@@ -219,7 +227,7 @@ def _fused_loss_supported(n: int) -> bool:
     # kernel quality, which is exactly why the calibrator times the real
     # attack step rather than the kernel. FUSED_LOSS_ENABLED is the escape
     # hatch for pipelines.
-    return FUSED_LOSS_ENABLED and max(n, 256) <= 2048
+    return FUSED_LOSS_ENABLED and _fused_loss_shape_ok(n)
 
 
 @jax.custom_vjp
@@ -304,8 +312,23 @@ def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "auto") -> Array:
     averaged over the batch, the AE training loss
     (reference: src/pointnet_ae.py:74-76). On TPU (n small enough for the
     single-tile kernel) the loss+grad run as one fused pass.
+
+    ``method``: "auto" routes fused-vs-composed via the module-global
+    FUSED_LOSS_ENABLED (read at TRACE time — process-wide); "fused" /
+    "composed" bind the choice explicitly at the call site, which is how
+    AttackRunner applies its per-runner calibration decision without
+    touching process state. "fused" falls back to composed where the
+    kernel does not apply (CPU, n > 2048).
     """
-    if method == "auto" and _on_tpu() and _fused_loss_supported(pred.shape[-2]):
+    if method == "fused":
+        if _on_tpu() and _fused_loss_shape_ok(pred.shape[-2]):
+            return _chamfer_per_pc_fused(pred, gt)
+        method = "auto"  # composed fallback (nn_distance auto-routing)
+    elif method == "composed":
+        method = "auto"  # skip the fused branch below
+    elif method == "auto" and _on_tpu() and _fused_loss_supported(
+        pred.shape[-2]
+    ):
         return _chamfer_per_pc_fused(pred, gt)
     d1, _, d2, _ = nn_distance(pred, gt, method)
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)

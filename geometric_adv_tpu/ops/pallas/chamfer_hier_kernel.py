@@ -172,7 +172,7 @@ def _hier_kernel(
     y_ref,  # (1, NB*8, BS) block coordinate planes (sublane-packed)
     oy_ref,  # (1, NB, BS)  original y ids per block
     d_ref,  # (1, NT, 1)
-    i_ref,  # (1, NT, 1)
+    i_ref=None,  # (1, NT, 1) — only passed (and written) when with_idx
     *, nb, with_idx,
 ):
     xt = x_ref[0]  # [NT, 3]
@@ -256,13 +256,16 @@ def _nn_direction_hier(
         pl.BlockSpec((1, tile_n, 1), lambda i, ni: (i, ni, 0),
                      memory_space=vm)
     ]
-    out_shape.append(jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32))
-    out_specs.append(
-        pl.BlockSpec((1, tile_n, 1), lambda i, ni: (i, ni, 0),
-                     memory_space=vm)
-    )
+    if with_idx:
+        # the idx output only exists when the kernel writes it — a
+        # min-only call must not hand back an uninitialized buffer
+        out_shape.append(jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, tile_n, 1), lambda i, ni: (i, ni, 0),
+                         memory_space=vm)
+        )
 
-    d, i = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(b, n_pad // tile_n),
         in_specs=[
@@ -287,14 +290,20 @@ def _nn_direction_hier(
         ),
     )(x.astype(jnp.float32), ub.astype(jnp.float32)[..., None],
       cyr, y_planes, oy)
-    return d[:, :n, 0], i[:, :n, 0]
+    d = outs[0]
+    if not with_idx:
+        return d[:, :n, 0], None
+    return d[:, :n, 0], outs[1][:, :n, 0]
 
 
-def _prep_target(y: jax.Array, bs: int):
-    """Sort + block a target cloud: returns (y_planes, oy, cyr, m_pad)."""
-    b, m, _ = y.shape
+def _prep_target_sorted(ys: jax.Array, perm: jax.Array, bs: int):
+    """Block an ALREADY Morton-sorted target cloud (``sort_cloud`` output):
+    returns (y_planes, oy, cyr). Split from :func:`_prep_target` so
+    ``nn_distance_hier`` can reuse the one sort it already did per cloud
+    instead of sorting each cloud twice (the sorts + inverse-perm gathers
+    dominate this kernel's cost — see the module negative-result note)."""
+    b, m, _ = ys.shape
     m_pad = _round_up(max(m, bs), bs)
-    ys, perm = sort_cloud(y.astype(jnp.float32))
     if m_pad != m:
         ys = jnp.pad(ys, ((0, 0), (0, m_pad - m), (0, 0)),
                      constant_values=_PAD_COORD)
@@ -303,6 +312,12 @@ def _prep_target(y: jax.Array, bs: int):
     y_planes, cyr = build_block_structure(ys, bs)
     oy = perm.reshape(b, m_pad // bs, bs)
     return y_planes, oy, cyr
+
+
+def _prep_target(y: jax.Array, bs: int):
+    """Sort + block a target cloud: returns (y_planes, oy, cyr)."""
+    ys, perm = sort_cloud(y.astype(jnp.float32))
+    return _prep_target_sorted(ys, perm, bs)
 
 
 def nn_direction_sorted(x: jax.Array, y: jax.Array, *, bs: int | None = None,
@@ -348,8 +363,20 @@ def nn_distance_hier(x: jax.Array, y: jax.Array):
     xs, perm_x = sort_cloud(x3)
     ys, perm_y = sort_cloud(y3)
 
-    d1s, i1s = nn_direction_sorted(xs, y3)  # follows xs order, ids original
-    d2s, i2s = nn_direction_sorted(ys, x3)
+    # each cloud is sorted ONCE and reused as both query (xs/ys) and
+    # blocked target (_prep_target_sorted) — two sorts total, not four
+    bs_y = _pick_bs(_round_up(max(m, DEFAULT_BS), DEFAULT_BS))
+    y_planes, oy, cyr_y = _prep_target_sorted(ys, perm_y, bs_y)
+    ub1 = seed_upper_bounds(xs, cyr_y)
+    d1s, i1s = _nn_direction_hier(  # follows xs order, ids original
+        xs, y_planes, oy, cyr_y, ub1, bs=bs_y, with_idx=True
+    )
+    bs_x = _pick_bs(_round_up(max(n, DEFAULT_BS), DEFAULT_BS))
+    x_planes, ox, cyr_x = _prep_target_sorted(xs, perm_x, bs_x)
+    ub2 = seed_upper_bounds(ys, cyr_x)
+    d2s, i2s = _nn_direction_hier(
+        ys, x_planes, ox, cyr_x, ub2, bs=bs_x, with_idx=True
+    )
 
     inv_x = _inverse_perm(perm_x)
     inv_y = _inverse_perm(perm_y)

@@ -32,9 +32,40 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from geometric_adv_tpu.ops.chamfer import nn_distance_values
+from geometric_adv_tpu.ops.chamfer import _on_tpu, nn_distance_values
 
 Array = jax.Array
+
+# row-chunk size for the off-TPU (CPU/GPU XLA) directed-Hausdorff fallback:
+# bounds the live distance plane at [_HOST_CHUNK, n_samples] (~120 MB at
+# the 30k default) instead of the full [n, m] matrix (3.6 GB at 30k^2)
+_HOST_CHUNK = 1024
+
+
+def _directed_max_min_sq(a: Array, b: Array, chunk: int = _HOST_CHUNK) -> Array:
+    """max_i min_j |a_i - b_j|^2 without materializing [n, m] at once.
+
+    Chunked over a's rows with the 3-plane broadcast-difference form (no
+    [chunk, m, 3] intermediate); padding rows duplicate a[0], which cannot
+    change a max-of-min.
+    """
+    n = a.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad, a.shape[1]))], axis=0
+        )
+    blocks = a.reshape(-1, chunk, 3)
+    bx, by, bz = b[None, :, 0], b[None, :, 1], b[None, :, 2]
+
+    def one(blk):
+        dx = blk[:, 0:1] - bx
+        dy = blk[:, 1:2] - by
+        dz = blk[:, 2:3] - bz
+        d = dx * dx + dy * dy + dz * dz  # [chunk, m]
+        return jnp.max(jnp.min(d, axis=1))
+
+    return jnp.max(jax.lax.map(one, blocks))
 
 
 def square_grid_faces(grain: int) -> np.ndarray:
@@ -99,9 +130,20 @@ def sample_mesh_surface(
 
 
 def hausdorff_sampled(s1: Array, s2: Array) -> Array:
-    """Symmetric Hausdorff distance (true L2) of two sample sets."""
-    d1, d2 = nn_distance_values(s1[None], s2[None])
-    return jnp.sqrt(jnp.maximum(jnp.max(d1), jnp.max(d2)))
+    """Symmetric Hausdorff distance (true L2) of two sample sets.
+
+    On TPU this is one tiled min-only kernel pass per direction; off-TPU
+    the direct pairwise matrix would be [n, m] f32 (3.6 GB at the 30k
+    default), so the host backends run the row-chunked reduction instead.
+    """
+    if _on_tpu():
+        d1, d2 = nn_distance_values(s1[None], s2[None])
+        return jnp.sqrt(jnp.maximum(jnp.max(d1), jnp.max(d2)))
+    return jnp.sqrt(
+        jnp.maximum(
+            _directed_max_min_sq(s1, s2), _directed_max_min_sq(s2, s1)
+        )
+    )
 
 
 def metro_distance(

@@ -388,7 +388,86 @@ def test_attack_runner_skips_calibration_on_cpu(rng, tmp_path):
         saver_step=None,
     )
     trainer = AETrainer(conf)
-    AttackRunner(
+    runner = AttackRunner(
         trainer.model, trainer.state.params, trainer.state.batch_stats, conf
     )
     assert len(core._CHAMFER_CALIB_CACHE) == 0
+    assert runner.chamfer_method == "auto"
+
+
+def test_calibration_cache_keys_victim_identity(rng, monkeypatch):
+    """The fused/composed decision is made against a specific victim's
+    scheduling (the gap lives in the encoder backward), so two different
+    victim signatures must each get their own measurement."""
+    import geometric_adv_tpu.attack.core as core
+
+    _, _, encode, decode = tiny_model()
+    monkeypatch.setattr(core, "_CALIB_BATCH", 2)
+    monkeypatch.setattr(core, "_CALIB_ITERS", 2)
+    monkeypatch.setattr(core, "_CALIB_REPS", 1)
+    core._CHAMFER_CALIB_CACHE.clear()
+    conf = Configuration(
+        n_input=[32, 3], bneck_size=8, batch_size=2, learning_rate=0.01,
+        dist_weight_list=[1.0], num_iterations=5, num_iterations_thresh=1,
+        saver_step=None,
+    )
+    core._calibrate_chamfer_impl(encode, decode, conf, victim_sig=("a",))
+    core._calibrate_chamfer_impl(encode, decode, conf, victim_sig=("b",))
+    assert len(core._CHAMFER_CALIB_CACHE) == 2
+    core._CHAMFER_CALIB_CACHE.clear()
+
+
+def test_attack_runner_binds_explicit_chamfer_impl(rng):
+    """chamfer_impl='fused'/'composed' binds the routing to THIS runner
+    (no calibration, no process globals): two runners in one process keep
+    independent decisions, and on CPU both trace to the same composed
+    program (the fused kernel is TPU-only, so 'fused' falls back) —
+    metrics must agree bit-for-bit."""
+    import geometric_adv_tpu.attack.core as core
+    import geometric_adv_tpu.ops.chamfer as chamfer_mod
+
+    core._CHAMFER_CALIB_CACHE.clear()
+    conf = Configuration(
+        n_input=[32, 3], bneck_size=8, batch_size=2, learning_rate=0.01,
+        dist_weight_list=[1.0], num_iterations=4, num_iterations_thresh=1,
+        saver_step=None,
+    )
+    trainer = AETrainer(conf)
+    prev_global = chamfer_mod.FUSED_LOSS_ENABLED
+    runners = {
+        impl: AttackRunner(
+            trainer.model, trainer.state.params, trainer.state.batch_stats,
+            conf, chamfer_impl=impl,
+        )
+        for impl in ("fused", "composed")
+    }
+    assert chamfer_mod.FUSED_LOSS_ENABLED == prev_global  # globals untouched
+    assert len(core._CHAMFER_CALIB_CACHE) == 0  # forcing skips calibration
+    assert runners["fused"].chamfer_method == "fused"
+    assert runners["composed"].chamfer_method == "composed"
+
+    x = (rng.rand(2, 32, 3).astype(np.float32) - 0.5)
+    gt = (rng.rand(2, 32, 3).astype(np.float32) - 0.5)
+    outs = {
+        impl: r.attack(
+            x, np.zeros((2, 8), np.float32), gt, np.ones(2, np.float32)
+        )
+        for impl, r in runners.items()
+    }
+    np.testing.assert_array_equal(
+        np.asarray(outs["fused"].metrics), np.asarray(outs["composed"].metrics)
+    )
+
+
+def test_chamfer_loss_per_pc_explicit_methods(rng):
+    """method='fused' and method='composed' agree with 'auto' on CPU
+    (all three are the composed path off-TPU)."""
+    from geometric_adv_tpu.ops import chamfer_loss_per_pc
+
+    a = jnp.asarray(rng.rand(3, 24, 3).astype(np.float32))
+    b2 = jnp.asarray(rng.rand(3, 20, 3).astype(np.float32))
+    base = np.asarray(chamfer_loss_per_pc(a, b2))
+    for method in ("fused", "composed"):
+        np.testing.assert_array_equal(
+            np.asarray(chamfer_loss_per_pc(a, b2, method=method)), base
+        )

@@ -2,6 +2,7 @@
 external-binary metro pipeline (trainer_loss.py:60-101, metro.py:14-32)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -77,6 +78,23 @@ def test_merge_patch_meshes_offsets_faces():
     verts, merged = merge_patch_meshes(pts, faces)
     assert verts.shape == (8, 3)
     np.testing.assert_array_equal(merged, [[0, 1, 2], [4, 5, 6]])
+
+
+def test_directed_max_min_chunked_matches_direct():
+    """The off-TPU Hausdorff fallback (row-chunked, 3-plane form) must
+    agree with the direct [n, m] reduction, including when n is not a
+    multiple of the chunk (the pad rows duplicate a[0])."""
+    from geometric_adv_tpu.transfer.metro import _directed_max_min_sq
+
+    rng = np.random.RandomState(3)
+    a = rng.rand(37, 3).astype(np.float32)
+    b = rng.rand(53, 3).astype(np.float32)
+    direct = np.max(
+        np.min(((a[:, None] - b[None]) ** 2).sum(-1), axis=1)
+    )
+    chunked = float(_directed_max_min_sq(jnp.asarray(a), jnp.asarray(b),
+                                         chunk=8))
+    np.testing.assert_allclose(chunked, direct, rtol=1e-6)
 
 
 @pytest.mark.slow  # trainer/e2e smoke: full gate only

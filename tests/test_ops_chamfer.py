@@ -337,3 +337,17 @@ def test_hier_kernel_interpret_mode(rng):
     np.testing.assert_allclose(np.asarray(d2), d2_ref, atol=1e-8)
     np.testing.assert_array_equal(np.asarray(i1), i1_ref)
     np.testing.assert_array_equal(np.asarray(i2), i2_ref)
+
+    # min-only direction call: values exact and NO idx output (the kernel
+    # never writes one, so returning an allocated-but-unwritten buffer
+    # would hand the caller garbage indices)
+    from geometric_adv_tpu.ops.pallas.chamfer_hier_kernel import (
+        nn_direction_sorted,
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        d1o, i1o = jax.jit(
+            lambda a, b2: nn_direction_sorted(a, b2, with_idx=False)
+        )(x, y)
+    assert i1o is None
+    np.testing.assert_allclose(np.asarray(d1o), d1_ref, atol=1e-8)
