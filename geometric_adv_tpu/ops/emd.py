@@ -40,12 +40,22 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from geometric_adv_tpu.ops.chamfer import pairwise_sqdist
+from geometric_adv_tpu.ops.chamfer import _on_tpu, pairwise_sqdist
 
 Array = jax.Array
 
 # Temperature schedule: j = 7, 6, ..., -1 with level = -(4^j); final round 0.
 _LEVELS = tuple([-(4.0**j) for j in range(7, -3, -1)][:-1] + [0.0])
+
+# Implementation switch for the fused EMD loss: "xla" = the in-round
+# recompute sweep below; "pallas" = the two-stage round kernels
+# (ops/pallas/emd_round_kernel.py, TPU only — falls back to "xla" off-TPU).
+# Read at TRACE time like chamfer.FUSED_LOSS_ENABLED.
+EMD_FUSED_IMPL = "xla"
+
+
+def _use_pallas_sweep() -> bool:
+    return EMD_FUSED_IMPL == "pallas" and _on_tpu()
 
 
 def _sqdist_planes(xyz1: Array, xyz2: Array) -> Array:
@@ -262,6 +272,22 @@ def _emd_sweep_single(xyz1: Array, xyz2: Array, want_grads: bool):
 
 
 def _emd_fused_impl(pred, gt, want_grads):
+    if _use_pallas_sweep():
+        from geometric_adv_tpu.ops.pallas.emd_round_kernel import (
+            emd_sweep_pallas,
+        )
+
+        lead = pred.shape[:-2]
+        n, m = pred.shape[-2], gt.shape[-2]
+        cost, g1, g2 = emd_sweep_pallas(
+            pred.reshape((-1, n, 3)), gt.reshape((-1, m, 3)),
+            want_grads=want_grads, levels=_LEVELS,
+        )
+        return (
+            cost.reshape(lead),
+            g1.reshape(lead + (n, 3)),
+            g2.reshape(lead + (m, 3)),
+        )
     fn = functools.partial(_emd_sweep_single, want_grads=want_grads)
     for _ in range(pred.ndim - 2):
         fn = jax.vmap(fn)

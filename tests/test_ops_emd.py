@@ -154,3 +154,82 @@ def test_fused_emd_matches_unfused(rng):
         gf2 = jax.grad(lambda c: jnp.sum(emd_loss_fused(x, c)))(y)
         gu2 = jax.grad(lambda c: jnp.sum(match_cost(x, c, match)))(y)
         np.testing.assert_allclose(gf2, gu2, atol=2e-4)
+
+
+def test_emd_fused_pallas_routing(rng, monkeypatch):
+    """EMD_FUSED_IMPL='pallas' routes emd_loss_fused (value AND custom-VJP
+    gradient) through the round kernels; off-TPU the switch is inert. The
+    pallas leg runs under interpret mode with the TPU check patched."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import geometric_adv_tpu.ops.emd as emd_mod
+
+    x = jnp.asarray(rng.rand(2, 32, 3).astype(np.float32) - 0.5)
+    y = jnp.asarray(rng.rand(2, 24, 3).astype(np.float32) - 0.5)
+    v_ref = np.asarray(emd_mod.emd_loss_fused(x, y))
+    g_ref = np.asarray(
+        jax.grad(lambda a: jnp.sum(emd_mod.emd_loss_fused(a, y)))(x)
+    )
+
+    monkeypatch.setattr(emd_mod, "EMD_FUSED_IMPL", "pallas")
+    # off-TPU the switch must not engage (no interpret mode here)
+    v_off = np.asarray(emd_mod.emd_loss_fused(x, y))
+    np.testing.assert_array_equal(v_off, v_ref)
+
+    monkeypatch.setattr(emd_mod, "_on_tpu", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        v_p = np.asarray(emd_mod.emd_loss_fused(x, y))
+        g_p = np.asarray(
+            jax.grad(lambda a: jnp.sum(emd_mod.emd_loss_fused(a, y)))(x)
+        )
+    np.testing.assert_allclose(v_p, v_ref, rtol=1e-5)
+    scale = float(np.max(np.abs(g_ref))) + 1e-9
+    np.testing.assert_allclose(g_p, g_ref, atol=1e-5 * scale)
+
+
+def test_emd_round_kernel_interpret_mode(rng):
+    """The Pallas two-stage round kernel (ops/pallas/emd_round_kernel.py)
+    must match the XLA sweep (_emd_sweep_single) in cost AND both gradient
+    accumulations, including padding (n, m not tile multiples) and the
+    unequal-cardinality multipliers. The cost is recovered through the
+    sum(x.g1_inc)+sum(y.g2_inc) identity in grads mode and accumulated
+    directly in value-only mode — both must agree."""
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geometric_adv_tpu.ops.emd import _LEVELS, _emd_fused_impl
+    from geometric_adv_tpu.ops.pallas.emd_round_kernel import emd_sweep_pallas
+
+    for n, m in [(40, 24), (24, 40), (32, 32)]:
+        x = jnp.asarray(rng.rand(2, n, 3).astype(np.float32) - 0.5)
+        y = jnp.asarray(rng.rand(2, m, 3).astype(np.float32) - 0.5)
+        cost_ref, g1_ref, g2_ref = _emd_fused_impl(x, y, want_grads=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            cost, g1, g2 = jax.jit(
+                functools.partial(
+                    emd_sweep_pallas, want_grads=True, levels=_LEVELS,
+                    tile_n=8,
+                )
+            )(x, y)
+            cost_v, _, _ = jax.jit(
+                functools.partial(
+                    emd_sweep_pallas, want_grads=False, levels=_LEVELS,
+                    tile_n=8,
+                )
+            )(x, y)
+
+        np.testing.assert_allclose(
+            np.asarray(cost), np.asarray(cost_ref), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cost_v), np.asarray(cost_ref), rtol=1e-5
+        )
+        scale = float(np.max(np.abs(np.asarray(g1_ref)))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g1_ref), atol=1e-5 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g2_ref), atol=1e-5 * scale
+        )
