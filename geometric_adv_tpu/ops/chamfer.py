@@ -208,26 +208,29 @@ def _fused_loss_shape_ok(n: int) -> bool:
 
 
 def _fused_loss_supported(n: int) -> bool:
-    # Auto-routing allows the fused kernel for n <= 2048 (the single-tile
-    # kernel for n <= 1024, the 2-subtile variant above that). The 2-subtile
-    # path was 35-40% slower than composed in rounds 2-3 (tile_m=512); the
-    # round-4 wide-m retune (chamfer_loss_kernel.TILE_M_2N=2048,
-    # vmem_limit 100M) cut it 45% (23.1 -> 12.8 ms/call at [250, 2048^2],
-    # bit-exact), putting it ahead of the composed fwd+bwd pair (~15 ms
-    # same-session) — so the gate now admits it and the per-session
-    # on-chip calibration (attack/core.py::_calibrate_chamfer_impl,
-    # bench.py's autotune) decides fused-vs-composed at EVERY shape.
+    # UNCALIBRATED auto-routing admits the fused kernel only for n <= 1024;
+    # the n <= 2048 2-subtile variant is reachable through explicit binding
+    # (``method="fused"`` / AttackRunner's per-runner calibration, gated by
+    # _fused_loss_shape_ok). Rationale, all measured on the v5e:
     #
-    # NOTE the fused-vs-composed ordering is CHIP-STATE DEPENDENT and
-    # WORKLOAD-LEVEL DEPENDENT: round-2 sessions measured fused +4-5% at
-    # 1024; the 2026-08-17 session measured composed +32% there; and the
-    # 2026-08-19 ATTACK-level A/B at 2048 measured composed 13.2k vs fused
-    # 7.1k pair-iters/s even with the retuned kernel ahead in isolation —
-    # the gap is scheduling/pipelining against the encoder backward, not
-    # kernel quality, which is exactly why the calibrator times the real
-    # attack step rather than the kernel. FUSED_LOSS_ENABLED is the escape
-    # hatch for pipelines.
-    return FUSED_LOSS_ENABLED and _fused_loss_shape_ok(n)
+    # - The round-4 wide-m retune (chamfer_loss_kernel.TILE_M_2N=2048,
+    #   vmem_limit 100M) put the 2-subtile KERNEL ahead of the composed
+    #   fwd+bwd pair in isolation (12.8 vs ~15 ms/call at [250, 2048^2],
+    #   bit-exact) — but every WORKLOAD-level A/B at 2048 favored composed:
+    #   attack 13.2k vs 7.1k pair-iters/s (2026-08-19; the calibrator's own
+    #   in-step measurement read 7.4k vs 6.2k the same day), train epoch
+    #   6,599 vs 6,089 samples/s (+8.4%). The gap is scheduling/pipelining
+    #   against the encoder backward, not kernel quality — so the
+    #   UNCALIBRATED default for 2048-pt trainer/eval users is composed,
+    #   and the 2048 fused kernel is only taken when a calibrator measured
+    #   it winning on the live chip.
+    # - At n <= 1024 the ordering is CHIP-STATE DEPENDENT (fused +4-5% in
+    #   round 2; composed +32% on 2026-08-17), which is what the per-runner
+    #   calibration exists for; auto keeps fused reachable there for
+    #   parity with the calibrated paths.
+    #
+    # FUSED_LOSS_ENABLED is the process-wide escape hatch for pipelines.
+    return FUSED_LOSS_ENABLED and max(n, 256) <= 1024
 
 
 @jax.custom_vjp
