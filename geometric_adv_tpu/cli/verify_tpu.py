@@ -302,7 +302,7 @@ def main() -> None:
         "AttackRunner on-chip chamfer-impl calibration ran + routed",
         calibrated
         and runner7.chamfer_method == ("fused" if decision else "composed")
-        and chamfer_mod.FUSED_LOSS_ENABLED,  # global untouched
+        and chamfer_mod.FUSED_LOSS_ENABLED is None,  # global untouched
         f"decision={'fused' if decision else 'composed'}, "
         f"bound={runner7.chamfer_method}",
     )

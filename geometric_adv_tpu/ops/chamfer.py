@@ -195,8 +195,12 @@ def nn_distance_values(
     return jnp.min(sqd, axis=-1), jnp.min(sqd, axis=-2)
 
 
-# escape hatch / A-B switch for the fused loss+grad kernel path
-FUSED_LOSS_ENABLED = True
+# escape hatch / A-B switch for the fused loss+grad kernel path.
+# Tri-state: None (default) = library auto-routing (fused only for
+# n <= 1024, see _fused_loss_supported); True = force fused wherever the
+# kernel exists (n <= 2048); False = force composed everywhere. CLIs set
+# True/False when --chamfer_impl forces an implementation process-wide.
+FUSED_LOSS_ENABLED = None
 
 
 def _fused_loss_shape_ok(n: int) -> bool:
@@ -229,8 +233,13 @@ def _fused_loss_supported(n: int) -> bool:
     #   calibration exists for; auto keeps fused reachable there for
     #   parity with the calibrated paths.
     #
-    # FUSED_LOSS_ENABLED is the process-wide escape hatch for pipelines.
-    return FUSED_LOSS_ENABLED and max(n, 256) <= 1024
+    # FUSED_LOSS_ENABLED is the process-wide escape hatch for pipelines:
+    # forcing True reaches the fused kernel at EVERY supported shape
+    # (n <= 2048), so --chamfer_impl fused stays honored at 2048 for
+    # method="auto" call sites outside a calibrated runner too.
+    if FUSED_LOSS_ENABLED is None:
+        return max(n, 256) <= 1024
+    return FUSED_LOSS_ENABLED and _fused_loss_shape_ok(n)
 
 
 @jax.custom_vjp

@@ -20,10 +20,12 @@ These kernels restructure one round into exactly TWO plane builds:
       (k*rsqrt(d2)) * ratio_r * (x - y)  (reference:
       external/structural_losses/tf_approxmatch_g.cu:229-292 computes the
       same (a-b)/d form), the rowdot k @ ratio_r for the remain_l update,
-      and the column-side increments. The cost increment is recovered
-      EXACTLY from the increments via
+      and the column-side increments. The cost increment satisfies
       sum(x . g1_inc) + sum(y . g2_inc) = sum(w * d)   (w = k rl (x) rr),
-      since x.(x-y) + y.(y-x) = |x-y|^2 and |x-y|^2 * rsqrt = d.
+      since x.(x-y) + y.(y-x) = |x-y|^2 and |x-y|^2 * rsqrt = d — the
+      identity was validated on-device, but the SHIPPED path accumulates
+      the cost directly in-kernel in BOTH modes with one reduction order,
+      so a plain forward and value_and_grad return bit-identical costs.
 
 The difference form also removes the bf16-cancellation hazard that forces
 the XLA path's thin contractions to Precision.HIGHEST (ops/emd.py): each
@@ -49,19 +51,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import _round_up
+from geometric_adv_tpu.ops.pallas.chamfer_loss_kernel import VMEM_LIMIT_2N
+
 # [NT, m] working tiles: 256 rows x full m width (one grid step per n-tile
 # completes a whole suml row, which is what lets ratio_l finalize in-kernel)
 DEFAULT_NT = 256
 
 # scoped-VMEM ceiling for the round kernels: wide [NT, m] tiles carry
 # several live planes (k, mm, the mu/mv products) past Mosaic's 16M
-# default; 100M fits the v5e's 128M/core with headroom (same setting as
-# chamfer_loss_kernel.VMEM_LIMIT_2N)
-VMEM_LIMIT = 100 * 1024 * 1024
-
-
-def _round_up(v: int, mult: int) -> int:
-    return -(-v // mult) * mult
+# default; shared with the 2-subtile chamfer loss kernel's budget
+VMEM_LIMIT = VMEM_LIMIT_2N
 
 
 def _stage_a_kernel(
@@ -105,14 +105,17 @@ def _stage_b_kernel(
     ratio_l_ref,  # (1, NT, 1)
     rr_ref,  # (1, 1, M) ratio_r row
     g1row_ref,  # (1, NT, 4) out: cols 0-2 g1_inc, col 3 rowdot k@ratio_r
-    aux_ref=None,  # grads: (1, 8, M) colsum increments | else (1, 1, 1) cost
+    g2col_ref=None,  # (1, 8, M) out (grads mode only): colsum increments
+    cost_ref=None,  # (1, 1, 1) out: sum w*d, accumulated over ni
     *, tile_n, want_grads,
 ):
-    # only the outputs each mode writes exist (an allocated-but-unwritten
-    # buffer would be returned as garbage): grads mode gets the g2 colsum
-    # accumulator, value-only mode gets the cost accumulator
-    g2col_ref = aux_ref if want_grads else None
-    cost_ref = None if want_grads else aux_ref
+    # grads mode gets (g1row, g2col, cost); value-only mode gets
+    # (g1row, cost) — only outputs the kernel writes exist, and the cost
+    # is accumulated DIRECTLY in both modes with the identical reduction
+    # order, so a plain forward and value_and_grad return the same bits
+    if not want_grads:
+        cost_ref = g2col_ref
+        g2col_ref = None
     ni = pl.program_id(1)
     level = level_ref[0, 0]
 
@@ -129,9 +132,9 @@ def _stage_b_kernel(
     rl = ratio_l_ref[0]  # [NT, 1]
 
     rowdot = jnp.sum(k * u, axis=1, keepdims=True)  # k @ ratio_r
+    inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
 
     if want_grads:
-        inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
         mu = k * inv_d * u  # [NT, M]
         gx = rl * jnp.sum(mu * dx, axis=1, keepdims=True)
         gy = rl * jnp.sum(mu * dy, axis=1, keepdims=True)
@@ -153,15 +156,18 @@ def _stage_b_kernel(
         zero3 = jnp.zeros((tile_n, 3), jnp.float32)
         g1row_ref[0] = jnp.concatenate([zero3, rowdot], axis=1)
 
-        @pl.when(ni == 0)
-        def _init_cost():
-            cost_ref[0] = jnp.zeros_like(cost_ref[0])
+    # cost tile: sum k*d*rl*u with d = sqd * rsqrt(max(sqd, eps)) —
+    # accumulated DIRECTLY in both modes (identical reduction order) so a
+    # plain forward and value_and_grad return bit-identical costs; the
+    # sum(x.g1)+sum(y.g2) identity remains documented above but is not the
+    # shipped cost path
+    @pl.when(ni == 0)
+    def _init_cost():
+        cost_ref[0] = jnp.zeros_like(cost_ref[0])
 
-        # cost tile: sum k*d*rl*u with d = sqd * rsqrt(max(sqd, eps))
-        inv_d = jax.lax.rsqrt(jnp.maximum(sqd, 1e-20))
-        cost_ref[0] += jnp.sum(
-            (k * (sqd * inv_d)) * rl * u
-        ).reshape(1, 1)
+    cost_ref[0] += jnp.sum(
+        (k * (sqd * inv_d)) * rl * u
+    ).reshape(1, 1)
 
 
 def _stage_a(levels_i, x, yt, remain_l, remain_r, *, tile_n):
@@ -222,13 +228,13 @@ def _stage_b(levels_i, x, yt, ratio_l, ratio_r, *, tile_n, want_grads):
                          memory_space=vm)
         )
         out_shape.append(jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32))
-    else:
-        out_specs.append(
-            pl.BlockSpec((1, 1, 1), lambda i, ni: (i, 0, 0),
-                         memory_space=vm)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((b, 1, 1), jnp.float32))
-    g1row, aux = pl.pallas_call(
+    # the cost accumulator exists in BOTH modes (bit-identical cost from
+    # forward and value_and_grad)
+    out_specs.append(
+        pl.BlockSpec((1, 1, 1), lambda i, ni: (i, 0, 0), memory_space=vm)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((b, 1, 1), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(b, n_pad // tile_n),
         in_specs=[
@@ -253,8 +259,8 @@ def _stage_b(levels_i, x, yt, ratio_l, ratio_r, *, tile_n, want_grads):
         ),
     )(levels_i, x, yt, ratio_l, ratio_r)
     if want_grads:
-        return g1row, aux, None
-    return g1row, None, aux
+        return outs[0], outs[1], outs[2]
+    return outs[0], None, outs[1]
 
 
 def emd_sweep_pallas(xyz1: jax.Array, xyz2: jax.Array, want_grads: bool,
@@ -321,13 +327,9 @@ def emd_sweep_pallas(xyz1: jax.Array, xyz2: jax.Array, want_grads: bool,
             )
             g1 = g1 + g1_inc
             g2 = g2 + g2_inc
-            # exact cost identity: sum(x.g1_inc) + sum(y.g2_inc) == sum(w*d)
-            cost = cost + (
-                jnp.sum(x * g1_inc, axis=(1, 2))
-                + jnp.sum(y * g2_inc, axis=(1, 2))
-            )
-        else:
-            cost = cost + cost_tile[:, 0, 0]
+        # direct accumulation in both modes (same reduction order), so a
+        # plain forward and value_and_grad return bit-identical costs
+        cost = cost + cost_tile[:, 0, 0]
         return cost, g1, g2, remain_l, remain_r
 
     state0 = (

@@ -172,19 +172,24 @@ def test_emd_fused_pallas_routing(rng, monkeypatch):
     )
 
     monkeypatch.setattr(emd_mod, "EMD_FUSED_IMPL", "pallas")
-    # off-TPU the switch must not engage (no interpret mode here)
+    # off-TPU the switch must not engage (pin the platform check False so
+    # the assertion also holds if this suite ever runs on a TPU host)
+    monkeypatch.setattr(emd_mod, "_on_tpu", lambda: False)
     v_off = np.asarray(emd_mod.emd_loss_fused(x, y))
     np.testing.assert_array_equal(v_off, v_ref)
 
     monkeypatch.setattr(emd_mod, "_on_tpu", lambda: True)
     with pltpu.force_tpu_interpret_mode():
         v_p = np.asarray(emd_mod.emd_loss_fused(x, y))
-        g_p = np.asarray(
-            jax.grad(lambda a: jnp.sum(emd_mod.emd_loss_fused(a, y)))(x)
-        )
+        vg_p, g_p = jax.value_and_grad(
+            lambda a: jnp.sum(emd_mod.emd_loss_fused(a, y))
+        )(x)
     np.testing.assert_allclose(v_p, v_ref, rtol=1e-5)
+    # forward and value_and_grad accumulate the cost with the same
+    # in-kernel reduction order -> bit-identical
+    np.testing.assert_array_equal(float(np.sum(v_p)), float(vg_p))
     scale = float(np.max(np.abs(g_ref))) + 1e-9
-    np.testing.assert_allclose(g_p, g_ref, atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(g_p), g_ref, atol=1e-5 * scale)
 
 
 def test_emd_round_kernel_interpret_mode(rng):
