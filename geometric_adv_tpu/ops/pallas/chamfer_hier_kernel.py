@@ -16,6 +16,15 @@ Kept in-tree (a) as the measured answer to "why not prune?" and (b)
 because the kernel is exact and interpret-mode tested — a future
 architecture with cheaper predication could revisit.
 
+Post-measurement fix (same round): the original wrapper sorted each cloud
+TWICE (once as query, once inside the target prep) — now each cloud is
+sorted once and reused (``_prep_target_sorted``), so the ~24 ms sort cost
+above is roughly halved. Re-measured after the fix in a heavily throttled
+window (v2 itself at 34.5 ms, ~4.6x off its healthy rate): hier 153 ms =
+4.4x slower, values AND indices still bit-equal to v2 on hardware. The
+direction kernels' Mosaic serialization remains the dominant cost; the
+negative verdict stands.
+
 The v2 kernel (chamfer_kernel_v2.py) computes every [n, m] distance exactly
 once — at the reference attack shape ([250, 2048, 3] pairs) that is at the
 VPU roofline (DESIGN.md round-3 accounting: 7.05 ms/call with every
