@@ -751,8 +751,10 @@ def main():
     except Exception as e:
         _log(f"bench: 2048 attack metric failed: {type(e).__name__}: {e}")
     try:
-        # the documented fast configuration at the paper's own workload
-        # shape (bf16 AE compute, f32 losses/metrics)
+        # bf16 AE compute, f32 losses/metrics, at the paper's own workload
+        # shape. NOTE: since the sparse encoder VJP landed this mode no
+        # longer reliably beats f32 (the chamfer losses dominate and stay
+        # f32; DESIGN.md session table) — kept as the record of that fact
         extras["attack_pair_iters_2048pts_bf16_encoder"] = round(
             bench_attack(
                 ae_dtype="bfloat16",
