@@ -307,6 +307,37 @@ def main() -> None:
         f"bound={runner7.chamfer_method}",
     )
 
+    # --- 7b: a second runner at another shape calibrates independently ---
+    # (the round-4 review found the pre-fix decision was published through
+    # a process global read at trace time, so a second runner could rewrite
+    # the first one's routing; this pins the per-runner binding on device)
+    method7_before = runner7.chamfer_method
+    conf512 = Configuration(
+        n_input=[512, 3], bneck_size=128, batch_size=8, learning_rate=0.01,
+        dist_weight_list=[1.0], num_iterations=25, num_iterations_thresh=5,
+        saver_step=None,
+    )
+    runner7b = AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats,
+        conf512,
+    )
+    decision_b = attack_core._CHAMFER_CALIB_CACHE.get(
+        next(
+            (k for k in attack_core._CHAMFER_CALIB_CACHE if k[1] == 512),
+            None,
+        )
+    )
+    _check(
+        "second runner (512 pts) calibrated independently, first unchanged",
+        len(attack_core._CHAMFER_CALIB_CACHE) == 2
+        and runner7.chamfer_method == method7_before
+        and runner7b.chamfer_method
+        == ("fused" if decision_b else "composed")
+        and chamfer_mod.FUSED_LOSS_ENABLED is None,
+        f"512-pt decision={'fused' if decision_b else 'composed'}, "
+        f"256-pt still bound={runner7.chamfer_method}",
+    )
+
     # --- 8: EMD fused sweep vs composed approx_match+match_cost on TPU ---
     # The CPU suite asserts this equality in XLA:CPU arithmetic only; on
     # TPU the fused sweep's per-round distance recompute (ops/emd.py) gets
