@@ -75,6 +75,13 @@ def _pick_tile_n(n_pad: int) -> int:
     return 128 if n_pad % 128 == 0 else _pick_tile(n_pad)
 
 
+def pack_coord_rows(y: jax.Array) -> jax.Array:
+    """[b, m, 3] -> [b, 8, m]: coordinates as sublane rows 0-2, padded to
+    the 8-sublane tile so kernels can slice y0/y1/y2 at sublane offsets.
+    Shared by the chamfer kernels and the EMD round kernels."""
+    return jnp.pad(jnp.swapaxes(y, -1, -2), ((0, 0), (0, 5), (0, 0)))
+
+
 def _round_up(v: int, mult: int) -> int:
     return -(-v // mult) * mult
 
@@ -210,7 +217,7 @@ def nn_distance_values_pallas(x: jax.Array, y: jax.Array):
     if m_pad != m:
         y2 = jnp.pad(y2, ((0, 0), (0, m_pad - m), (0, 0)),
                      constant_values=_PAD_COORD)
-    yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    yt = pack_coord_rows(y2)
 
     kernel = functools.partial(
         _nn_values_kernel_v2, tile_n=tile_n, tile_m=tile_m
@@ -269,7 +276,7 @@ def nn_distance_pallas_v2(x: jax.Array, y: jax.Array):
     if m_pad != m:
         y2 = jnp.pad(y2, ((0, 0), (0, m_pad - m), (0, 0)),
                      constant_values=_PAD_COORD)
-    yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    yt = pack_coord_rows(y2)
 
     kernel = functools.partial(_nn_kernel_v2, tile_n=tile_n, tile_m=tile_m)
     vm = pltpu.VMEM

@@ -40,6 +40,7 @@ from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
     _BIG,
     _PAD_COORD,
     _round_up,
+    pack_coord_rows,
 )
 
 # The int32 argmin index rides in a float32 payload lane via bitcast. Raw
@@ -362,7 +363,7 @@ def chamfer_loss_payloads(x: jax.Array, y: jax.Array):
     if m_pad != m:
         y2 = jnp.pad(y2, ((0, 0), (0, m_pad - m), (0, 0)),
                      constant_values=_PAD_COORD)
-    yt = jnp.pad(jnp.swapaxes(y2, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    yt = pack_coord_rows(y2)
     if PAYLOAD_VIA_MXU:
         # row 3 = ones so the scatter contraction also yields the counts
         yt = yt.at[:, 3, :].set(1.0)

@@ -51,7 +51,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import _round_up
+from geometric_adv_tpu.ops.pallas.chamfer_kernel_v2 import (
+    _round_up,
+    pack_coord_rows,
+)
 from geometric_adv_tpu.ops.pallas.chamfer_loss_kernel import VMEM_LIMIT_2N
 
 # [NT, m] working tiles: 256 rows x full m width (one grid step per n-tile
@@ -64,6 +67,19 @@ DEFAULT_NT = 256
 VMEM_LIMIT = VMEM_LIMIT_2N
 
 
+def _tile_diff_planes(x_ref, yt_ref):
+    """(1, NT, 3) x tile vs (1, 8, M) packed y rows -> (dx, dy, dz)
+    broadcast-difference planes [NT, M] (v2-kernel layout: x as [NT, 1]
+    lane-broadcast columns, y as offset-0 [1, M] sublane rows)."""
+    xt = x_ref[0]
+    yt = yt_ref[0]
+    return (
+        xt[:, 0:1] - yt[0:1, :],
+        xt[:, 1:2] - yt[1:2, :],
+        xt[:, 2:3] - yt[2:3, :],
+    )
+
+
 def _stage_a_kernel(
     level_ref,  # (1, 1) SMEM: this round's temperature (<= 0)
     x_ref,  # (1, NT, 3)
@@ -72,18 +88,11 @@ def _stage_a_kernel(
     rr_ref,  # (1, 1, M)  remain_r row
     ratio_l_ref,  # (1, NT, 1) out
     colsum_ref,  # (1, 1, M) out: sum_n ratio_l * k, accumulated over ni
-    *, tile_n,
 ):
     ni = pl.program_id(1)
     level = level_ref[0, 0]
 
-    xt = x_ref[0]
-    y0 = yt_ref[0][0:1, :]
-    y1 = yt_ref[0][1:2, :]
-    y2 = yt_ref[0][2:3, :]
-    dx = xt[:, 0:1] - y0
-    dy = xt[:, 1:2] - y1
-    dz = xt[:, 2:3] - y2
+    dx, dy, dz = _tile_diff_planes(x_ref, yt_ref)
     k = jnp.exp(level * (dx * dx + dy * dy + dz * dz))  # [NT, M]
 
     rr = rr_ref[0]  # [1, M]
@@ -119,13 +128,7 @@ def _stage_b_kernel(
     ni = pl.program_id(1)
     level = level_ref[0, 0]
 
-    xt = x_ref[0]
-    y0 = yt_ref[0][0:1, :]
-    y1 = yt_ref[0][1:2, :]
-    y2 = yt_ref[0][2:3, :]
-    dx = xt[:, 0:1] - y0
-    dy = xt[:, 1:2] - y1
-    dz = xt[:, 2:3] - y2
+    dx, dy, dz = _tile_diff_planes(x_ref, yt_ref)
     sqd = dx * dx + dy * dy + dz * dz
     k = jnp.exp(level * sqd)
     u = rr_ref[0]  # [1, M] ratio_r
@@ -174,9 +177,8 @@ def _stage_a(levels_i, x, yt, remain_l, remain_r, *, tile_n):
     b, n_pad = x.shape[0], x.shape[1]
     m_pad = yt.shape[-1]
     vm = pltpu.VMEM
-    kernel = functools.partial(_stage_a_kernel, tile_n=tile_n)
     ratio_l, colsum = pl.pallas_call(
-        kernel,
+        _stage_a_kernel,
         grid=(b, n_pad // tile_n),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, ni: (0, 0),
@@ -290,7 +292,7 @@ def emd_sweep_pallas(xyz1: jax.Array, xyz2: jax.Array, want_grads: bool,
     if m_pad != m:
         y = jnp.pad(y, ((0, 0), (0, m_pad - m), (0, 0)),
                     constant_values=1e3)
-    yt = jnp.pad(jnp.swapaxes(y, -1, -2), ((0, 0), (0, 5), (0, 0)))
+    yt = pack_coord_rows(y)
 
     ones_n = jnp.ones((b, n, 1), jnp.float32)
     ones_m = jnp.ones((b, 1, m), jnp.float32)
