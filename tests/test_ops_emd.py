@@ -196,9 +196,10 @@ def test_emd_round_kernel_interpret_mode(rng):
     """The Pallas two-stage round kernel (ops/pallas/emd_round_kernel.py)
     must match the XLA sweep (_emd_sweep_single) in cost AND both gradient
     accumulations, including padding (n, m not tile multiples) and the
-    unequal-cardinality multipliers. The cost is recovered through the
-    sum(x.g1_inc)+sum(y.g2_inc) identity in grads mode and accumulated
-    directly in value-only mode — both must agree."""
+    unequal-cardinality multipliers. The cost is accumulated directly
+    in-kernel with ONE reduction order in BOTH modes (the shipped path) —
+    grads mode and value-only mode must agree; the sum(x.g1)+sum(y.g2)
+    identity is documented in the kernel but is NOT the shipped cost."""
     import functools
 
     from jax.experimental.pallas import tpu as pltpu
@@ -238,3 +239,89 @@ def test_emd_round_kernel_interpret_mode(rng):
         np.testing.assert_allclose(
             np.asarray(g2), np.asarray(g2_ref), atol=1e-5 * scale
         )
+
+
+def test_emd_fused_sweep_kernel_interpret_mode(rng):
+    """The single-pass full-plane sweep kernel
+    (ops/pallas/emd_fused_kernel.py) must match the XLA sweep in cost and
+    both gradients, including padding (n, m not lane multiples), the
+    unequal-cardinality multipliers, and value-only mode (cost equal to
+    grads mode; zero grads returned)."""
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geometric_adv_tpu.ops.emd import _LEVELS, _emd_fused_impl
+    from geometric_adv_tpu.ops.pallas.emd_fused_kernel import (
+        emd_sweep_fused_pallas,
+        fused_sweep_supported,
+    )
+
+    assert fused_sweep_supported(1024, 1024)
+    assert not fused_sweep_supported(2048, 2048)
+
+    for n, m in [(40, 24), (24, 40), (32, 32), (130, 32)]:
+        x = jnp.asarray(rng.rand(2, n, 3).astype(np.float32) - 0.5)
+        y = jnp.asarray(rng.rand(2, m, 3).astype(np.float32) - 0.5)
+        cost_ref, g1_ref, g2_ref = _emd_fused_impl(x, y, want_grads=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            cost, g1, g2 = jax.jit(
+                functools.partial(
+                    emd_sweep_fused_pallas, want_grads=True, levels=_LEVELS,
+                )
+            )(x, y)
+            cost_v, g1_v, g2_v = jax.jit(
+                functools.partial(
+                    emd_sweep_fused_pallas, want_grads=False, levels=_LEVELS,
+                )
+            )(x, y)
+
+        np.testing.assert_allclose(
+            np.asarray(cost), np.asarray(cost_ref), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cost_v), np.asarray(cost), rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(g1_v), 0.0)
+        np.testing.assert_array_equal(np.asarray(g2_v), 0.0)
+        scale = float(np.max(np.abs(np.asarray(g1_ref)))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g1_ref), atol=1e-5 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g2_ref), atol=1e-5 * scale
+        )
+
+
+def test_emd_fused_impl_auto_routing(rng, monkeypatch):
+    """EMD_FUSED_IMPL='auto' (the default) engages the single-pass kernel
+    on TPU at supported shapes and stays on the XLA sweep off-TPU; 'fused'
+    forces it (asserting the gate)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import geometric_adv_tpu.ops.emd as emd_mod
+
+    x = jnp.asarray(rng.rand(2, 40, 3).astype(np.float32) - 0.5)
+    y = jnp.asarray(rng.rand(2, 24, 3).astype(np.float32) - 0.5)
+    v_ref = np.asarray(emd_mod.emd_loss_fused(x, y))
+    g_ref = np.asarray(
+        jax.grad(lambda a: jnp.sum(emd_mod.emd_loss_fused(a, y)))(x)
+    )
+
+    assert emd_mod.EMD_FUSED_IMPL == "auto"
+    monkeypatch.setattr(emd_mod, "_on_tpu", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        v_p = np.asarray(emd_mod.emd_loss_fused(x, y))
+        g_p = np.asarray(
+            jax.grad(lambda a: jnp.sum(emd_mod.emd_loss_fused(a, y)))(x)
+        )
+    np.testing.assert_allclose(v_p, v_ref, rtol=1e-5)
+    scale = float(np.max(np.abs(g_ref))) + 1e-9
+    np.testing.assert_allclose(g_p, g_ref, atol=1e-5 * scale)
+
+    # 'fused' at an unsupported shape must refuse, not silently fall back
+    monkeypatch.setattr(emd_mod, "EMD_FUSED_IMPL", "fused")
+    big = jnp.zeros((1, 2048, 3), jnp.float32)
+    with pytest.raises(AssertionError):
+        emd_mod._emd_fused_impl(big, big, want_grads=False)
