@@ -45,6 +45,7 @@ import numpy as np
 
 from geometric_adv_tpu.models.pointnet_ae import PointNetAE
 from geometric_adv_tpu.ops import chamfer_loss_per_pc, nn_distance
+from geometric_adv_tpu.ops.chamfer import chamfer_frozen_payloads
 from geometric_adv_tpu.ops.emd import emd_loss_fused
 from geometric_adv_tpu.parallel.distributed import (
     gather_global,
@@ -222,6 +223,123 @@ def make_attack_loss(
     return forward
 
 
+def _frozen_chamfer_terms(x1: Array, p: dict, m: int):
+    """Frozen-assignment chamfer pieces from carried payloads.
+
+    Returns (d1 [..., n] per-point squared NN dists of x1's points,
+    mean_d2 [...] the x2-side mean) — both pure elementwise in x1, with the
+    NN assignments frozen at the refresh state ``p`` (see
+    ops/chamfer.py::chamfer_frozen_payloads for the algebra; the d2 side
+    uses the difference-correction form to avoid f32 cancellation).
+    Autodiff w.r.t. x1 reproduces the reference scatter-add backward for
+    the frozen assignments exactly.
+    """
+    diff = x1 - p["nn1"]
+    d1 = jnp.sum(diff * diff, axis=-1)
+    delta = x1 - p["x1_0"]
+    corr = -2.0 * jnp.sum(delta * p["r"], axis=(-1, -2)) + jnp.sum(
+        p["cnt"] * jnp.sum(delta * delta, axis=-1), axis=-1
+    )
+    return d1, (p["d2sum0"] + corr) / m
+
+
+def make_frozen_attack_loss(
+    encode: Callable[[Array], Array],
+    decode: Callable[[Array], Array],
+    loss_adv_type: str,
+    loss_dist_type: str,
+    max_point_pert_weight: float,
+    max_point_dist_weight: float,
+):
+    """Frozen-assignment variant of ``make_attack_loss`` — the
+    ``chamfer_refresh`` fast mode's per-iteration program.
+
+    Identical loss/metric structure to the exact forward, with both chamfer
+    evaluations replaced by elementwise frozen-payload forms (payloads are
+    recomputed exactly every ``chamfer_refresh`` iterations by
+    ``attack_batch``; at a refresh step the values and gradients equal the
+    exact path's). Chamfer AE loss only — ``attack_batch`` gates.
+    """
+
+    def forward(pert, x, target_z, gt, dist_weight, payloads):
+        p_recon, p_adv = payloads
+        adv = x + pert
+        z = encode(adv)
+        recon = decode(z)
+
+        d1r, mean_d2r = _frozen_chamfer_terms(recon, p_recon, gt.shape[-2])
+        t_re = jnp.mean(d1r, axis=-1) + mean_d2r
+        d1a, mean_d2a = _frozen_chamfer_terms(adv, p_adv, x.shape[-2])
+        input_dist_per_pc = jnp.mean(d1a, axis=-1) + mean_d2a
+        max_dist_per_pc = jnp.max(d1a, axis=-1)
+
+        loss_pert, loss_max = pert_losses(pert)
+
+        if loss_adv_type == "latent":
+            diff = z - target_z
+            loss_adv = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        else:
+            loss_adv = t_re
+
+        if loss_dist_type == "pert":
+            loss_dist = loss_pert
+            if max_point_pert_weight > 0.0:
+                loss_dist = loss_dist + max_point_pert_weight * loss_max
+        else:
+            loss_dist = input_dist_per_pc
+            if max_point_dist_weight > 0.0:
+                loss_dist = loss_dist + max_point_dist_weight * max_dist_per_pc
+
+        total = jnp.sum(loss_adv + dist_weight * loss_dist)
+        aux = {
+            "loss_adv": loss_adv,
+            "loss_dist": loss_dist,
+            "source_chamfer": input_dist_per_pc,
+            "t_re": t_re,
+            "adv": adv,
+            "recon": recon,
+        }
+        return total, aux
+
+    return forward
+
+
+def make_attack_payload_fn(
+    encode: Callable[[Array], Array],
+    decode: Callable[[Array], Array],
+    payload_method: str = "auto",
+):
+    """Build the refresh step of the ``chamfer_refresh`` fast mode: one
+    exact fused-payload pass per attack chamfer (recon-vs-gt, adv-vs-source)
+    at the current perturbation. Output is the payload pytree the frozen
+    forward consumes; stop_gradient'd (payloads are constants of the
+    frozen evaluation — chamfer's true gradient treats the argmin as
+    locally constant anyway)."""
+
+    def payload_fn(pert, x, gt):
+        adv = x + pert
+        recon = decode(encode(adv))
+
+        def pack(x1, x2):
+            d1, d2, nn1, snn1, cnt1 = chamfer_frozen_payloads(
+                x1, x2, payload_method
+            )
+            del d1  # the frozen d1 form recomputes it exactly
+            return {
+                "nn1": nn1,
+                "r": snn1 - cnt1[..., None] * x1,
+                "cnt": cnt1,
+                "d2sum0": jnp.sum(d2, axis=-1),
+                "x1_0": x1,
+            }
+
+        return jax.lax.stop_gradient(
+            (pack(recon, gt), pack(adv, x))
+        )
+
+    return payload_fn
+
+
 def attack_batch(
     encode: Callable[[Array], Array],
     decode: Callable[[Array], Array],
@@ -242,6 +360,7 @@ def attack_batch(
     pert_seed: int = 55,
     track_by: str = "t_re",
     chamfer_method: str = "auto",
+    chamfer_refresh: int = 0,
 ) -> AttackOutputs:
     """Run the full attack for one batch of pairs, all dist_weights at once.
 
@@ -251,24 +370,43 @@ def attack_batch(
     the binary-search variant). ``track_by`` selects the best-so-far key:
     "t_re" (reference: src/adv_ae.py:239, the main attack) or "loss_dist"
     (reference: src/adv_ae.py:283-290, the binary-search variant).
+
+    ``chamfer_refresh`` > 0 enables the frozen-assignment fast mode (chamfer
+    AE loss only): NN assignments for both attack chamfers are recomputed
+    exactly every ``chamfer_refresh`` iterations (one fused payload pass,
+    ops/pallas/chamfer_loss_kernel.py) and held frozen in between, where the
+    loss/gradient are pure elementwise — exploiting that ``adv = x + pert``
+    moves slowly and ``x``/``gt`` are constant across the 500-step scan.
+    ``chamfer_refresh=1`` refreshes every step (matches the exact path up to
+    f32 association); 0 disables (exact, the parity default). Documented
+    deviation: between refreshes the recorded metrics and the best-so-far
+    selection see the frozen (majorizing) chamfer values — PARITY.md #13.
     """
     b, n, _ = source_pc.shape
     m = target_pc.shape[1]
+    use_frozen = chamfer_refresh and chamfer_refresh > 0
+    if use_frozen and ae_loss_type != "chamfer":
+        raise ValueError(
+            "chamfer_refresh fast mode requires the chamfer AE loss"
+        )
     forward = make_attack_loss(
         encode, decode, loss_adv_type, loss_dist_type, ae_loss_type,
         max_point_pert_weight, max_point_dist_weight,
         chamfer_method=chamfer_method,
     )
+    if use_frozen:
+        frozen_forward = make_frozen_attack_loss(
+            encode, decode, loss_adv_type, loss_dist_type,
+            max_point_pert_weight, max_point_dist_weight,
+        )
+        payload_fn = make_attack_payload_fn(encode, decode)
     thresh = max(num_iterations_thresh, 1)
 
     def run_one_weight(dist_weight):
         grad_fn = jax.value_and_grad(forward, has_aux=True)
 
-        def scan_step(carry, t):
+        def track_and_update(carry, t, aux, grads):
             pert, m_acc, v_acc, best = carry
-            (_, aux), grads = grad_fn(
-                pert, source_pc, target_latent, target_pc, dist_weight
-            )
 
             # Record the post-update metrics of reference iteration t
             # (this forward IS that iteration's metric read).
@@ -296,7 +434,13 @@ def attack_batch(
                 grads, m_acc, v_acc, (t + 1).astype(jnp.float32),
                 learning_rate,
             )
-            return (pert - step, m_new, v_new, new_best), None
+            return (pert - step, m_new, v_new, new_best)
+
+        def scan_step(carry, t):
+            (_, aux), grads = grad_fn(
+                carry[0], source_pc, target_latent, target_pc, dist_weight
+            )
+            return track_and_update(carry, t, aux, grads), None
 
         pert0 = init_pert((b, n, 3), seed=pert_seed)
         best0 = {
@@ -309,9 +453,45 @@ def attack_batch(
         # steps t = 0..num_iterations: step t records the state after t Adam
         # updates (reference iterations 1..num_iterations; t=0 is pre-update
         # and never recorded since thresh >= 1).
-        (_, _, _, best), _ = jax.lax.scan(
-            scan_step, carry0, jnp.arange(num_iterations + 1)
-        )
+        if not use_frozen:
+            (_, _, _, best), _ = jax.lax.scan(
+                scan_step, carry0, jnp.arange(num_iterations + 1)
+            )
+        else:
+            frozen_grad_fn = jax.value_and_grad(frozen_forward, has_aux=True)
+
+            def run_chunk(carry, t0, length):
+                # refresh: exact payload pass at the chunk's entry pert, so
+                # the chunk's FIRST step evaluates with delta == 0 (values
+                # and gradient equal the exact path's at that step)
+                payloads = payload_fn(carry[0], source_pc, target_pc)
+
+                def frozen_step(c, t):
+                    (_, aux), grads = frozen_grad_fn(
+                        c[0], source_pc, target_latent, target_pc,
+                        dist_weight, payloads,
+                    )
+                    return track_and_update(c, t, aux, grads), None
+
+                carry, _ = jax.lax.scan(
+                    frozen_step, carry, t0 + jnp.arange(length)
+                )
+                return carry
+
+            total = num_iterations + 1
+            n_full, rem = divmod(total, chamfer_refresh)
+            carry = carry0
+            if n_full:
+                carry, _ = jax.lax.scan(
+                    lambda c, t0: (run_chunk(c, t0, chamfer_refresh), None),
+                    carry,
+                    jnp.arange(n_full) * chamfer_refresh,
+                )
+            if rem:
+                carry = run_chunk(
+                    carry, jnp.int32(n_full * chamfer_refresh), rem
+                )
+            best = carry[3]
         metrics = jnp.concatenate(
             [best["metrics"], best["t_re"][:, None]], axis=-1
         )
@@ -320,7 +500,21 @@ def attack_batch(
     return jax.vmap(run_one_weight)(jnp.asarray(dist_weights, jnp.float32))
 
 
-def _calibrate_chamfer_impl(encode, decode, conf, victim_sig=()) -> bool:
+def _auto_dispatch_batch(n_pts: int, n_examples: int | None = None) -> int:
+    """The per-dispatch pair batch AttackRunner.attack auto-sizes to: the
+    scanned fwd+bwd working set stays within the proven envelope
+    (1500 pairs x 2048 points crashed a v5e worker; 500 x 2048 and
+    256 x 1024 are production-proven)."""
+    max_point_rows = 1_024_000  # exactly 500 pairs at 2048 pts
+    batch = max(1, max_point_rows // n_pts)
+    if n_examples is not None:
+        batch = min(batch, n_examples)
+    return batch
+
+
+def _calibrate_chamfer_impl(
+    encode, decode, conf, victim_sig=(), calib_batch=None
+) -> bool:
     """Measure both chamfer-loss implementations inside a real attack step
     on the live device and return True if the fused kernel wins.
 
@@ -330,6 +524,14 @@ def _calibrate_chamfer_impl(encode, decode, conf, victim_sig=()) -> bool:
     kernel itself at full VPU rate in the same session where the fused
     ATTACK lagged 46%, i.e. the difference lives in scheduling/pipelining
     against the encoder backward, which only the composite step exposes.
+
+    ``calib_batch`` sizes the proxy workload. It MUST be the runner's real
+    dispatch batch: round 4 calibrated at a fixed batch 64 and recorded a
+    session where that proxy mis-ranked fused over composed at 2048 pts
+    while the production-batch workload favored composed by ~2x (VERDICT r4
+    #3) — the scheduling effect the calibration exists to capture is
+    batch-size dependent. AttackRunner passes its production dispatch batch
+    (``_auto_dispatch_batch`` or the caller's explicit batch).
 
     ``victim_sig`` extends the cache key with the victim's identity (the
     caller passes the param-tree shape/dtype signature): the measured gap
@@ -341,16 +543,25 @@ def _calibrate_chamfer_impl(encode, decode, conf, victim_sig=()) -> bool:
     """
     import time
 
+    if calib_batch is None:
+        calib_batch = _CALIB_BATCH
+
     n = conf.n_input[0]
     m = conf.resolved_n_output()[0]
+    # max_point_*_weight are in the key because they change which branch of
+    # make_attack_loss traces (max_point_dist_weight > 0 routes nn_distance
+    # per-point instead of chamfer_loss_per_pc) — a decision measured on one
+    # program structure must not be reused for the other (ADVICE r4).
     key = (
         victim_sig, n, m, conf.loss_adv_type, conf.loss_dist_type, conf.loss,
+        conf.max_point_pert_weight, conf.max_point_dist_weight,
         getattr(conf, "ae_dtype", "float32"),
+        calib_batch,
     )
     if key in _CHAMFER_CALIB_CACHE:
         return _CHAMFER_CALIB_CACHE[key]
 
-    b = _CALIB_BATCH
+    b = calib_batch
     rng = np.random.RandomState(123)
     x = jnp.asarray(rng.rand(b, n, 3).astype(np.float32) - 0.5)
     # gt is n-sized like production's target_pc (attack pairs are dataset
@@ -418,10 +629,21 @@ class AttackRunner:
         conf,
         mesh=None,
         chamfer_impl: str = "auto",
+        batch_size: int | None = None,
     ):
         self.model = model
         self.conf = conf
         self.mesh = mesh
+        self.batch_size = batch_size
+        # frozen-assignment fast mode period (0 = exact; conf-driven so the
+        # CLI/pipeline can enable it per stage — see attack_batch docstring)
+        self.chamfer_refresh = int(
+            getattr(conf, "chamfer_refresh", 0) or 0
+        )
+        if self.chamfer_refresh and conf.loss != "chamfer":
+            raise ValueError(
+                "chamfer_refresh fast mode requires the chamfer AE loss"
+            )
         variables = {"params": params, "batch_stats": batch_stats}
         if mesh is not None:
             if jax.process_count() == 1:
@@ -460,12 +682,19 @@ class AttackRunner:
 
         import geometric_adv_tpu.ops.chamfer as _chamfer_mod
 
-        if chamfer_impl in ("fused", "composed"):
+        if self.chamfer_refresh:
+            # frozen fast mode: the per-step program has no full chamfer
+            # call to route — refresh payloads go through the fused payload
+            # kernel (TPU) / composed fallback via chamfer_frozen_payloads'
+            # own auto-routing, so fused/composed calibration is moot
+            self.chamfer_method = "auto"
+        elif chamfer_impl in ("fused", "composed"):
             # explicit forcing (CLI --chamfer_impl / bench arms): bind it,
             # skip calibration
             self.chamfer_method = chamfer_impl
         elif (
             CALIBRATE_CHAMFER_IMPL
+            and jax.process_count() == 1
             and _chamfer_mod._on_tpu()
             and conf.loss == "chamfer"
             and _chamfer_mod._fused_loss_shape_ok(conf.n_input[0])
@@ -482,13 +711,22 @@ class AttackRunner:
             # The victim's param-tree signature keys the cache: the measured
             # effect is scheduling against the encoder backward, so the
             # decision must not be reused across different architectures.
+            # Multi-host gate (jax.process_count() above): each process
+            # would time the A/B independently and near-ties could trace
+            # DIFFERENT attack programs across hosts — an SPMD mismatch
+            # that hangs the sharded attack (ADVICE r4). Multi-host runs
+            # use the static auto default or an explicit --chamfer_impl.
             victim_sig = tuple(
                 (tuple(leaf.shape), str(leaf.dtype))
                 for leaf in jax.tree.leaves(params)
             )
             self.chamfer_method = (
                 "fused"
-                if _calibrate_chamfer_impl(encode, decode, conf, victim_sig)
+                if _calibrate_chamfer_impl(
+                    encode, decode, conf, victim_sig,
+                    calib_batch=batch_size
+                    or _auto_dispatch_batch(conf.n_input[0]),
+                )
                 else "composed"
             )
         else:
@@ -508,8 +746,18 @@ class AttackRunner:
                 max_point_pert_weight=conf.max_point_pert_weight,
                 max_point_dist_weight=conf.max_point_dist_weight,
                 chamfer_method=self.chamfer_method,
+                chamfer_refresh=self.chamfer_refresh,
             )
         )
+
+    @property
+    def attack_mode(self) -> str:
+        """Routing record for artifacts/bench: which chamfer program this
+        runner traced ("fused"/"composed"/"auto", or "frozen-<T>" for the
+        chamfer_refresh fast mode)."""
+        if self.chamfer_refresh:
+            return f"frozen-{self.chamfer_refresh}"
+        return self.chamfer_method
 
     def attack(
         self,
@@ -532,9 +780,9 @@ class AttackRunner:
 
         n_examples = len(source_pc)
         if not batch_size:
-            max_point_rows = 1_024_000  # exactly 500 pairs at 2048 pts
-            n_pts = source_pc.shape[-2]
-            batch_size = max(1, min(n_examples, max_point_rows // n_pts))
+            batch_size = self.batch_size or _auto_dispatch_batch(
+                source_pc.shape[-2], n_examples
+            )
         dist_weights = np.asarray(self.conf.dist_weight_list, np.float32)
 
         shard_of = 1 if self.mesh is None else self.mesh.devices.size

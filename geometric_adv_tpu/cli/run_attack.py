@@ -50,6 +50,15 @@ def main():
         "calibration and binds the session winner to this runner",
     )
     parser.add_argument(
+        "--chamfer_refresh", type=int, default=0,
+        help="frozen-assignment chamfer fast mode: recompute the NN "
+        "assignments of both attack chamfers exactly every N iterations "
+        "and hold them frozen (pure elementwise loss+grad) in between — "
+        "~2x at 2048 pts (PARITY #13 documents the metric deviation; "
+        "validated vs exact at FULLRUN scale). 0 = exact every iteration "
+        "(the parity default); 1 = refresh every step (matches exact)",
+    )
+    parser.add_argument(
         "--encoder_vjp", type=str, default="auto",
         choices=["auto", "sparse", "dense"],
         help="victim-encoder input-gradient path: 'sparse' backprops only "
@@ -113,6 +122,7 @@ def main():
     conf.correct_pred_only = bool(flags.correct_pred_only)
     conf.num_iterations = flags.num_iterations
     conf.num_iterations_thresh = flags.num_iterations_thresh
+    conf.chamfer_refresh = flags.chamfer_refresh
 
     output_path = ensure_dir(osp.join(ctx.data_path, flags.output_folder_name))
     conf.train_dir = output_path
@@ -142,7 +152,25 @@ def main():
     runner = AttackRunner(
         victim.model, victim.state.params, victim.state.batch_stats, conf,
         mesh=mesh, chamfer_impl=flags.chamfer_impl,
+        batch_size=flags.batch_size or None,
     )
+    # persist the traced-program routing next to the artifacts: fused and
+    # composed grads differ in f32 summation order, so bitwise differences
+    # between sessions must be attributable after the fact (ADVICE r4)
+    import json
+
+    with open(osp.join(output_path, "attack_impl.json"), "w") as f:
+        json.dump(
+            {
+                "chamfer_impl_flag": flags.chamfer_impl,
+                "chamfer_method": runner.chamfer_method,
+                "chamfer_refresh": runner.chamfer_refresh,
+                "attack_mode": runner.attack_mode,
+                "encoder_vjp": flags.encoder_vjp,
+            },
+            f,
+            indent=1,
+        )
 
     for i, pc_class_name in ctx.classes_iter():
         print(f"attack shape class {pc_class_name} "

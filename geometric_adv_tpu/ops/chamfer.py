@@ -346,6 +346,76 @@ def chamfer_loss_per_pc(pred: Array, gt: Array, method: str = "auto") -> Array:
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 
 
+def chamfer_frozen_payloads(
+    x1: Array, x2: Array, method: str = "auto"
+) -> tuple[Array, Array, Array, Array, Array]:
+    """(d1, d2, nn1, snn1, cnt1) — everything the frozen-assignment
+    ("temporal-coherence") chamfer evaluation carries between refreshes.
+
+    With the NN assignments FROZEN at the state where this was computed,
+    the chamfer loss and its gradient w.r.t. ``x1`` become pure elementwise
+    expressions of these payloads (no gathers/scatters):
+
+        d1_frozen(x1')[i] = ||x1'[i] - nn1[i]||^2
+        sum_j d2_frozen(x1')[j]
+            = sum(d2) - 2 sum_i delta[i].r[i] + sum_i cnt1[i] ||delta[i]||^2
+        where delta = x1' - x1, r = snn1 - cnt1*x1
+        (the difference-correction form; the expanded quadratic
+        ``|x2|^2 - 2 x1.snn + cnt|x1|^2`` cancels catastrophically at f32)
+
+    and autodiff of those forms reproduces the reference's exact scatter-add
+    backward (tf_nndistance.cpp:130-163) for the frozen assignments, which
+    equals the true chamfer gradient wherever the argmins are unchanged.
+    The attack's fast mode (attack/core.py, ``chamfer_refresh``) exploits
+    that the two clouds of each attack chamfer move slowly across the
+    500-iteration scan, so assignments stay valid for many steps.
+
+    Payload meanings (reference backward formula):
+        nn1[i]  = x2[idx1[i]]                      (NN coords of x1 in x2)
+        snn1[i] = sum_{j: idx2[j]==i} x2[j]        (reverse scatter sum)
+        cnt1[i] = #{j: idx2[j]==i}                 (reverse scatter count)
+
+    NOT differentiable — callers compute payloads outside the
+    differentiated region (they are constants of the frozen evaluation).
+    On TPU (n <= 2048) one fused kernel pass produces everything
+    (ops/pallas/chamfer_loss_kernel.py); elsewhere a composed
+    nn_distance + scatter-add fallback with identical semantics.
+    """
+    n = x1.shape[-2]
+    if method == "auto":
+        method = (
+            "kernel"
+            if _on_tpu() and _fused_loss_shape_ok(n)
+            else "composed"
+        )
+    if method == "kernel":
+        from geometric_adv_tpu.ops.pallas.chamfer_loss_kernel import (
+            chamfer_loss_payloads,
+        )
+
+        d1, _, d2, _, nn1, snn1, cnt1 = chamfer_loss_payloads(x1, x2)
+        return d1, d2, nn1, snn1, cnt1
+
+    d1, i1, d2, i2 = _nn_distance_fwd_impl(
+        x1, x2, "direct" if not _on_tpu() else "auto"
+    )
+    nn1 = _take_points(x2, i1)
+    flat_i = i2.reshape((-1,) + i2.shape[-1:])
+    flat_x2 = x2.reshape((-1,) + x2.shape[-2:])
+    z3 = jnp.zeros((flat_i.shape[0], n, 3), x1.dtype)
+    z1 = jnp.zeros((flat_i.shape[0], n), x1.dtype)
+    snn1 = jax.vmap(lambda z, i, u: z.at[i].add(u))(z3, flat_i, flat_x2)
+    cnt1 = jax.vmap(lambda z, i: z.at[i].add(1.0))(z1, flat_i)
+    lead = x1.shape[:-2]
+    return (
+        d1,
+        d2,
+        nn1,
+        snn1.reshape(lead + (n, 3)),
+        cnt1.reshape(lead + (n,)),
+    )
+
+
 def chamfer_loss(pred: Array, gt: Array, method: str = "auto") -> Array:
     """Scalar Chamfer loss: mean over all points in the batch, both directions.
 

@@ -83,6 +83,10 @@ class Configuration:
     correct_pred_only: bool = False
     num_iterations: int = 500
     num_iterations_thresh: int = 400
+    chamfer_refresh: int = 0  # >0: frozen-assignment chamfer fast mode —
+    #   NN assignments recomputed exactly every N attack iterations, held
+    #   frozen (pure elementwise loss+grad) in between; 0 = exact every
+    #   step (parity default). See attack/core.py::attack_batch, PARITY #13
 
     # --- defense stage (reference: defender/run_defense_*.py) ---
     defense_type: str | None = None  # {critical, surface}

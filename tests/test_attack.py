@@ -471,3 +471,199 @@ def test_chamfer_loss_per_pc_explicit_methods(rng):
         np.testing.assert_array_equal(
             np.asarray(chamfer_loss_per_pc(a, b2, method=method)), base
         )
+
+
+# ---------------------------------------------------------------------------
+# frozen-assignment chamfer fast mode (chamfer_refresh; PARITY #13)
+
+
+def test_frozen_payloads_match_exact_at_refresh(rng):
+    """The frozen-form chamfer loss and gradient, evaluated at the same
+    clouds the payloads were computed from (delta == 0), must equal the
+    exact chamfer_loss_per_pc value and gradient."""
+    from geometric_adv_tpu.attack.core import _frozen_chamfer_terms
+    from geometric_adv_tpu.ops import chamfer_loss_per_pc
+    from geometric_adv_tpu.ops.chamfer import chamfer_frozen_payloads
+
+    b, n, m = 3, 40, 24
+    x1 = jnp.asarray(rng.rand(b, n, 3).astype(np.float32) - 0.5)
+    x2 = jnp.asarray(rng.rand(b, m, 3).astype(np.float32) - 0.5)
+
+    d1, d2, nn1, snn1, cnt1 = chamfer_frozen_payloads(x1, x2)
+    payload = {
+        "nn1": nn1,
+        "r": snn1 - cnt1[..., None] * x1,
+        "cnt": cnt1,
+        "d2sum0": jnp.sum(d2, axis=-1),
+        "x1_0": x1,
+    }
+
+    def frozen_loss(z):
+        d1f, mean_d2 = _frozen_chamfer_terms(z, payload, m)
+        return jnp.mean(d1f, axis=-1) + mean_d2
+
+    def exact_loss(z):
+        return chamfer_loss_per_pc(z, x2)
+
+    np.testing.assert_allclose(
+        np.asarray(frozen_loss(x1)), np.asarray(exact_loss(x1)),
+        rtol=1e-6, atol=1e-7,
+    )
+    g_frozen = jax.grad(lambda z: jnp.sum(frozen_loss(z)))(x1)
+    g_exact = jax.grad(lambda z: jnp.sum(exact_loss(z)))(x1)
+    np.testing.assert_allclose(
+        np.asarray(g_frozen), np.asarray(g_exact), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_frozen_payloads_cpu_fallback_semantics(rng):
+    """The composed-fallback payloads (scatter sums/counts) match a numpy
+    loop over the exact NN indices."""
+    from geometric_adv_tpu.ops.chamfer import (
+        chamfer_frozen_payloads,
+        nn_distance,
+    )
+
+    b, n, m = 2, 17, 23
+    x1 = rng.rand(b, n, 3).astype(np.float32)
+    x2 = rng.rand(b, m, 3).astype(np.float32)
+    d1, d2, nn1, snn1, cnt1 = chamfer_frozen_payloads(
+        jnp.asarray(x1), jnp.asarray(x2)
+    )
+    d1_ref, i1_ref, d2_ref, i2_ref = (
+        np.asarray(a) for a in nn_distance(x1, x2)
+    )
+    np.testing.assert_array_equal(np.asarray(d1), d1_ref)
+    np.testing.assert_array_equal(np.asarray(d2), d2_ref)
+    for bi in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(nn1)[bi], x2[bi][i1_ref[bi]]
+        )
+        snn_ref = np.zeros((n, 3), np.float32)
+        cnt_ref = np.zeros((n,), np.float32)
+        for j in range(m):
+            snn_ref[i2_ref[bi, j]] += x2[bi, j]
+            cnt_ref[i2_ref[bi, j]] += 1.0
+        np.testing.assert_allclose(
+            np.asarray(snn1)[bi], snn_ref, rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_array_equal(np.asarray(cnt1)[bi], cnt_ref)
+
+
+def test_frozen_attack_refresh_1_matches_exact(rng):
+    """chamfer_refresh=1 recomputes assignments every step, so the fast
+    mode must reproduce the exact attack trajectory (within f32
+    association of the loss forms)."""
+    _, _, encode, decode = tiny_model()
+    b, n = 3, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32)
+    target_z = np.asarray(encode(gt))
+    loss_ref = rng.rand(b).astype(np.float32) + 0.5
+    kwargs = dict(
+        num_iterations=20, num_iterations_thresh=12, learning_rate=0.01,
+    )
+    exact = attack_batch(
+        encode, decode, x, target_z, gt, loss_ref,
+        np.array([1.0], np.float32), **kwargs,
+    )
+    frozen = attack_batch(
+        encode, decode, x, target_z, gt, loss_ref,
+        np.array([1.0], np.float32), chamfer_refresh=1, **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(frozen.metrics), np.asarray(exact.metrics),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(frozen.pc_input), np.asarray(exact.pc_input), atol=1e-5
+    )
+
+
+def test_frozen_attack_period_close_to_exact(rng):
+    """A realistic refresh period stays within a small tolerance of the
+    exact trajectory (documented deviation, PARITY #13), including when
+    the period does not divide the step count (remainder chunk)."""
+    _, _, encode, decode = tiny_model()
+    b, n = 3, 32
+    x = rng.rand(b, n, 3).astype(np.float32)
+    gt = rng.rand(b, n, 3).astype(np.float32)
+    target_z = np.asarray(encode(gt))
+    loss_ref = np.ones(b, np.float32)
+    kwargs = dict(
+        num_iterations=30, num_iterations_thresh=15, learning_rate=0.01,
+    )
+    exact = attack_batch(
+        encode, decode, x, target_z, gt, loss_ref,
+        np.array([1.0], np.float32), **kwargs,
+    )
+    frozen = attack_batch(
+        encode, decode, x, target_z, gt, loss_ref,
+        np.array([1.0], np.float32), chamfer_refresh=8, **kwargs,
+    )
+    # 31 steps = 3 full chunks of 8 + remainder 7.
+    # Tolerances are loose by design: with a toy random AE the frozen
+    # metric values can flip WHICH iteration wins the strict-< best
+    # selection (the clouds differ then by a few optimizer steps). The
+    # exact-equivalence check is test_frozen_attack_refresh_1_matches_exact;
+    # real-victim deviation is validated at FULLRUN scale (PARITY #13).
+    np.testing.assert_allclose(
+        np.asarray(frozen.metrics), np.asarray(exact.metrics),
+        rtol=0.1, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(frozen.pc_input), np.asarray(exact.pc_input), atol=0.05
+    )
+    # and the fast mode still attacks: best T-RE improves on the initial
+    assert np.all(np.asarray(frozen.metrics)[0, :, 4] < 1e10)
+
+
+def test_frozen_attack_rejects_emd_loss(rng):
+    _, _, encode, decode = tiny_model()
+    x = rng.rand(2, 32, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="chamfer"):
+        attack_batch(
+            encode, decode, x, np.zeros((2, 8), np.float32), x,
+            np.ones(2, np.float32), np.array([1.0], np.float32),
+            num_iterations=2, num_iterations_thresh=1,
+            ae_loss_type="emd", chamfer_refresh=4,
+        )
+
+
+def test_attack_runner_frozen_mode(rng):
+    """conf.chamfer_refresh > 0 routes the runner to the frozen program:
+    no calibration, attack_mode records the period, outputs stay close to
+    the exact runner's."""
+    import geometric_adv_tpu.attack.core as core
+
+    core._CHAMFER_CALIB_CACHE.clear()
+    conf = Configuration(
+        n_input=[32, 3], bneck_size=8, batch_size=4, learning_rate=0.01,
+        dist_weight_list=[1.0], num_iterations=10, num_iterations_thresh=2,
+        saver_step=None, chamfer_refresh=4,
+    )
+    trainer = AETrainer(conf)
+    runner = AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats, conf,
+    )
+    assert runner.attack_mode == "frozen-4"
+    assert len(core._CHAMFER_CALIB_CACHE) == 0
+
+    conf_exact = conf.copy()
+    conf_exact.chamfer_refresh = 0
+    exact_runner = AttackRunner(
+        trainer.model, trainer.state.params, trainer.state.batch_stats,
+        conf_exact,
+    )
+    assert exact_runner.attack_mode in ("auto", "fused", "composed")
+
+    x = rng.rand(4, 32, 3).astype(np.float32) - 0.5
+    gt = rng.rand(4, 32, 3).astype(np.float32) - 0.5
+    tz = np.zeros((4, 8), np.float32)
+    ref = np.ones(4, np.float32)
+    out_f = runner.attack(x, tz, gt, ref)
+    out_e = exact_runner.attack(x, tz, gt, ref)
+    np.testing.assert_allclose(
+        np.asarray(out_f.metrics), np.asarray(out_e.metrics),
+        rtol=0.05, atol=1e-4,
+    )
