@@ -31,7 +31,19 @@ Checks:
    the measured winner;
 8. EMD: the fused sweep (``emd_loss_fused``, per-round distance recompute)
    matches the composed ``match_cost(approx_match(...))`` path in value AND
-   gradient on real TPU arithmetic (the CPU suite only pins XLA:CPU).
+   gradient on real TPU arithmetic (the CPU suite only pins XLA:CPU);
+9. frozen-payload chamfer (the ``chamfer_refresh`` fast mode's refresh op,
+   PARITY #13): the fused payload-kernel route equals the composed
+   scatter-add fallback on device, and the frozen elementwise forms
+   reproduce the exact per-pc loss AND gradient at delta == 0;
+10. the single-pass EMD sweep kernel (ops/pallas/emd_fused_kernel.py)
+    equals the XLA sweep in value and both gradients on real Mosaic, and
+    the TPU auto-routing gate admits it at an in-bounds shape;
+11. metro's ``hausdorff_sampled`` at its 30,000-sample DEFAULT on device:
+    the TPU branch feeds the v2 kernel a [1, 30k, 30k] problem (m_pad
+    30080 — far beyond the shapes the rest of the suite exercises the
+    tile-pick/VMEM budget at), cross-checked against the row-chunked
+    reduction fallback evaluated on the same device (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -376,6 +388,133 @@ def main() -> None:
         "EMD fused sweep gradient == composed (rel 5e-4)",
         grel_e <= 5e-4,
         f"max rel={grel_e:.3g}",
+    )
+
+    # --- 9: frozen-payload chamfer (chamfer_refresh refresh op) ----------
+    # Reuses check 2's x/y (non-multiple shapes + planted ties). The fused
+    # payload kernel and the composed scatter-add fallback must agree on
+    # device, and the frozen elementwise forms must reproduce the exact
+    # chamfer loss and gradient when evaluated AT the refresh state
+    # (delta == 0) — the contract attack/core.py's fast mode rests on.
+    from geometric_adv_tpu.attack.core import _frozen_chamfer_terms
+    from geometric_adv_tpu.ops import chamfer_loss_per_pc
+    from geometric_adv_tpu.ops.chamfer import chamfer_frozen_payloads
+
+    pk = jax.jit(lambda a, b: chamfer_frozen_payloads(a, b, "kernel"))(x, y)
+    pc = jax.jit(lambda a, b: chamfer_frozen_payloads(a, b, "composed"))(
+        x, y
+    )
+    d1_pk, d2_pk, nn1_pk, snn1_pk, cnt1_pk = (np.asarray(t) for t in pk)
+    d1_pc, d2_pc, nn1_pc, snn1_pc, cnt1_pc = (np.asarray(t) for t in pc)
+    snn_dev = float(np.max(np.abs(snn1_pk - snn1_pc)))
+    _check(
+        "frozen payloads: kernel route == composed scatter fallback",
+        np.array_equal(d1_pk, d1_pc)
+        and np.array_equal(d2_pk, d2_pc)
+        and np.array_equal(nn1_pk, nn1_pc)
+        and np.array_equal(cnt1_pk, cnt1_pc)
+        and snn_dev <= 1e-5,  # f32 accumulation order differs
+        f"max|snn diff|={snn_dev:.3g}",
+    )
+
+    payload = {
+        "nn1": pk[2],
+        "r": pk[3] - pk[4][..., None] * x,
+        "cnt": pk[4],
+        "d2sum0": jnp.sum(pk[1], axis=-1),
+        "x1_0": x,
+    }
+
+    def frozen_pc_loss(z):
+        d1f, mean_d2 = _frozen_chamfer_terms(z, payload, m)
+        return jnp.mean(d1f, axis=-1) + mean_d2
+
+    v_frozen = np.asarray(jax.jit(frozen_pc_loss)(x))
+    v_exact = np.asarray(
+        jax.jit(lambda a: chamfer_loss_per_pc(a, y, method="composed"))(x)
+    )
+    g_frozen = np.asarray(
+        jax.jit(jax.grad(lambda z: jnp.sum(frozen_pc_loss(z))))(x)
+    )
+    g_exact = np.asarray(
+        jax.jit(
+            jax.grad(
+                lambda z: jnp.sum(chamfer_loss_per_pc(z, y, method="composed"))
+            )
+        )(x)
+    )
+    v_rel = float(np.max(np.abs(v_frozen - v_exact) / np.abs(v_exact)))
+    g_scale = max(float(np.max(np.abs(g_exact))), 1e-9)
+    g_rel = float(np.max(np.abs(g_frozen - g_exact))) / g_scale
+    _check(
+        "frozen forms at delta=0 == exact chamfer loss+grad (1e-5)",
+        v_rel <= 1e-5 and g_rel <= 1e-5,
+        f"value rel={v_rel:.3g}, grad rel={g_rel:.3g}",
+    )
+
+    # --- 10: single-pass EMD sweep kernel vs XLA sweep on real Mosaic ----
+    import geometric_adv_tpu.ops.emd as emd_mod
+
+    _check(
+        "EMD auto-routing gate admits the sweep kernel at 512x448",
+        emd_mod.EMD_FUSED_IMPL == "auto"
+        and emd_mod._use_fused_sweep(512, 448),
+    )
+    prev_impl = emd_mod.EMD_FUSED_IMPL
+    try:
+        outs_emd = {}
+        for impl in ("xla", "fused"):
+            emd_mod.EMD_FUSED_IMPL = impl
+            v10, g10 = jax.jit(
+                jax.value_and_grad(
+                    lambda p: jnp.sum(emd_loss_fused(p, xe2))
+                )
+            )(xe1)
+            outs_emd[impl] = (float(v10), np.asarray(g10))
+    finally:
+        emd_mod.EMD_FUSED_IMPL = prev_impl
+    v_x10, g_x10 = outs_emd["xla"]
+    v_f10, g_f10 = outs_emd["fused"]
+    vrel10 = abs(v_f10 - v_x10) / abs(v_x10)
+    gscale10 = max(float(np.max(np.abs(g_x10))), 1e-9)
+    grel10 = float(np.max(np.abs(g_f10 - g_x10))) / gscale10
+    _check(
+        "EMD sweep kernel == XLA sweep on device (value 1e-5, grad 1e-4)",
+        vrel10 <= 1e-5 and grel10 <= 1e-4,
+        f"value rel={vrel10:.3g}, grad rel={grel10:.3g} "
+        "(reference acceptance bar is 1e-2/entry, approxmatch.cpp:218-230)",
+    )
+
+    # --- 11: metro hausdorff_sampled at the 30k default on device --------
+    # The TPU branch runs ONE [1, 30000, 30000] v2-kernel pass per
+    # direction (transfer/metro.py:hausdorff_sampled) — m_pad 30080 is far
+    # outside every other check's shape envelope, so the tile-pick/VMEM
+    # budget at the metro default is only proven here (the CPU suite tests
+    # the chunked fallback path). Cross-check: the chunked row-reduction
+    # form on the SAME device; both compute exact max-of-min so they must
+    # agree to f32 roundoff.
+    from geometric_adv_tpu.transfer.metro import (
+        _directed_max_min_sq,
+        hausdorff_sampled,
+    )
+
+    mrng = np.random.RandomState(7)
+    s1 = jnp.asarray(mrng.rand(30_000, 3).astype(np.float32) - 0.5)
+    s2 = jnp.asarray(mrng.rand(30_000, 3).astype(np.float32) * 1.2 - 0.6)
+    h_kernel = float(jax.jit(hausdorff_sampled)(s1, s2))
+
+    @jax.jit
+    def h_chunked(a, b):
+        return jnp.sqrt(
+            jnp.maximum(_directed_max_min_sq(a, b), _directed_max_min_sq(b, a))
+        )
+
+    h_ref = float(h_chunked(s1, s2))
+    hdev = abs(h_kernel - h_ref) / max(abs(h_ref), 1e-9)
+    _check(
+        "metro hausdorff_sampled @30k default: kernel == chunked (1e-5)",
+        np.isfinite(h_kernel) and hdev <= 1e-5,
+        f"kernel={h_kernel:.6f}, chunked={h_ref:.6f}, rel={hdev:.3g}",
     )
 
     print(

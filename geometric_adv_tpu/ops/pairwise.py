@@ -115,9 +115,19 @@ def chamfer_distance_matrix(
     # were the round-1 bottleneck).
     pcs_dev = jnp.asarray(pcs, jnp.float32)
     if mesh is not None:
-        from geometric_adv_tpu.parallel.mesh import replicated
+        if jax.process_count() == 1:
+            from geometric_adv_tpu.parallel.mesh import replicated
 
-        pcs_dev = jax.device_put(pcs_dev, replicated(mesh))
+            pcs_dev = jax.device_put(pcs_dev, replicated(mesh))
+        else:
+            # multi-host: device_put cannot target non-addressable devices;
+            # every process holds the identical cloud set (shared artifact
+            # store), so assemble the replicated global array instead
+            from geometric_adv_tpu.parallel.distributed import (
+                make_global_replicated,
+            )
+
+            pcs_dev = make_global_replicated(np.asarray(pcs, np.float32), mesh)
 
     chunk_pairs = pair_block * blocks_per_chunk
     # ONE chunk shape per job: a shape-changing tail chunk would recompile
@@ -141,9 +151,27 @@ def chamfer_distance_matrix(
             sh = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec(None, mesh.axis_names[0])
             )
-            ii = jax.device_put(ii, sh)
-            jj = jax.device_put(jj, sh)
-        d = np.asarray(
+            if jax.process_count() == 1:
+                ii = jax.device_put(ii, sh)
+                jj = jax.device_put(jj, sh)
+            else:
+                # each process contributes its contiguous column slice of
+                # the (identical, host-computed) pair-index block — mesh
+                # device order is process-major, matching the row layout
+                pc = jax.process_count()
+                pid = jax.process_index()
+                w = pair_block // pc
+                ii = jax.make_array_from_process_local_data(
+                    sh, ii[:, pid * w:(pid + 1) * w], ii.shape
+                )
+                jj = jax.make_array_from_process_local_data(
+                    sh, jj[:, pid * w:(pid + 1) * w], jj.shape
+                )
+        from geometric_adv_tpu.parallel.distributed import gather_global
+
+        # gather_global: plain device_get single-process; a cross-process
+        # allgather when the chunk output is not fully addressable
+        d = gather_global(
             _pair_chamfer_chunk(pcs_dev, ii, jj, method)
         ).reshape(-1)[:k]
         out[iu[s:e], ju[s:e]] = d

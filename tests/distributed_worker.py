@@ -70,7 +70,7 @@ def main():
     rng = np.random.RandomState(100 + proc_id)
     local = rng.rand(4, 32, 3).astype(np.float32) - 0.5
     global_x = host_local_batch_to_global(local, mesh)
-    assert global_x.shape == (8, 32, 3), global_x.shape
+    assert global_x.shape == (4 * num_procs, 32, 3), global_x.shape
     assert not global_x.is_fully_addressable  # truly multi-host sharded
 
     # One sharded train step: host (numpy) state replicates, the batch axis
@@ -127,6 +127,38 @@ def main():
                 out.metrics,
             )
         print(f"ATTACK_OK proc={proc_id} sum={float(out.metrics.sum()):.8f}")
+
+    # --- extended legs (the N=4 test): the sharded all-pairs chamfer
+    # matrix job and a gather-heavy inference stage (the defense stages'
+    # _batched_forward path: pad_to_multiple + shard_host_batch +
+    # gather_global across the process boundary).
+    if len(sys.argv) > 5 and sys.argv[5] == "full":
+        from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+
+        mrng = np.random.RandomState(11)
+        clouds = mrng.rand(10, 32, 3).astype(np.float32)
+        mat = chamfer_distance_matrix(
+            clouds, pair_block=jax.device_count(), blocks_per_chunk=3,
+            mesh=mesh,
+        )
+        print(f"MATRIX_OK proc={proc_id} sum={float(mat.sum()):.8f}")
+
+        # defense-style gather: batched inference with a ragged batch (14
+        # rows over an 8-device mesh forces pad_to_multiple) + the
+        # pre-symmetry argmax reduction the critical-points defense uses
+        trainer_m = AETrainer(conf, mesh=mesh)
+        drng = np.random.RandomState(12)
+        probe = drng.rand(14, 32, 3).astype(np.float32) - 0.5
+        recon = trainer_m.get_reconstructions(probe, batch_size=14)
+        amax, _ = trainer_m.get_pre_symmetry_argmax(probe, batch_size=14)
+        if jax.process_index() == 0:
+            np.save(os.path.join(sys.argv[4], "defense_recon.npy"), recon)
+            np.save(os.path.join(sys.argv[4], "defense_amax.npy"), amax)
+            np.save(os.path.join(sys.argv[4], "matrix.npy"), mat)
+        print(
+            f"DEFENSE_OK proc={proc_id} sum={float(np.sum(recon)):.8f} "
+            f"amax={int(np.sum(amax))}"
+        )
 
 
 if __name__ == "__main__":

@@ -221,3 +221,73 @@ def test_two_process_train_ae_cli_matches_single(tmp_path):
         err_msg="2-process train_ae checkpoint functionally diverged",
     )
     np.testing.assert_allclose(losses[0], losses[1], rtol=5e-3)
+
+
+def test_four_process_distributed_stages(tmp_path):
+    """N=4 processes (8 global devices): train + attack + the sharded
+    chamfer-matrix job + the defense stages' gather-heavy batched-forward
+    path, all crossing the process boundary (VERDICT r4 #5). Every process
+    must agree on every stage's result, and the gathered artifacts must
+    equal single-process runs."""
+    import numpy as np
+
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = _clean_env(repo_root)
+    n_procs = 4
+    outs = _run_pair(
+        [
+            [sys.executable, _WORKER, coordinator, str(n_procs), str(pid),
+             str(tmp_path), "full"]
+            for pid in range(n_procs)
+        ],
+        [env] * n_procs,
+        timeout=600,
+    )
+
+    import re
+
+    for marker in ("DISTRIBUTED_OK", "ATTACK_OK", "MATRIX_OK", "DEFENSE_OK"):
+        lines = [
+            line for out in outs for line in out.splitlines()
+            if line.startswith(marker)
+        ]
+        assert len(lines) == n_procs, (marker, outs)
+        # cross-process agreement: every process reports the identical
+        # values (strip only the per-process id field)
+        stripped = {re.sub(r"proc=\d+", "proc=*", line) for line in lines}
+        assert len(stripped) == 1, lines
+
+    # gathered artifacts == single-process reference runs
+    from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+    from geometric_adv_tpu.train import AETrainer, Configuration
+
+    mrng = np.random.RandomState(11)
+    clouds = mrng.rand(10, 32, 3).astype(np.float32)
+    mat_single = chamfer_distance_matrix(
+        clouds, pair_block=8, blocks_per_chunk=3, mesh=None
+    )
+    np.testing.assert_allclose(
+        np.load(tmp_path / "matrix.npy"), mat_single, rtol=1e-5, atol=1e-7,
+        err_msg="4-process sharded chamfer matrix diverged",
+    )
+
+    conf = Configuration(
+        n_input=[32, 3], bneck_size=8, encoder_filters=[8, 16, 8],
+        decoder_sizes=[16, 16], batch_size=8, learning_rate=0.01,
+        saver_step=None, held_out_step=None,
+    )
+    trainer = AETrainer(conf)  # same deterministic init as the workers
+    drng = np.random.RandomState(12)
+    probe = drng.rand(14, 32, 3).astype(np.float32) - 0.5
+    recon_single = trainer.get_reconstructions(probe, batch_size=14)
+    np.testing.assert_allclose(
+        np.load(tmp_path / "defense_recon.npy"), recon_single,
+        rtol=1e-5, atol=1e-6,
+        err_msg="4-process gathered reconstructions diverged",
+    )
+    amax_single, _ = trainer.get_pre_symmetry_argmax(probe, batch_size=14)
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "defense_amax.npy"), amax_single
+    )
