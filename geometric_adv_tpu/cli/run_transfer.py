@@ -52,9 +52,16 @@ def main():
         ae = restore_victim(t_conf, transfer_dir,
                             flags.transfer_ae_restore_epoch)
     else:
+        from geometric_adv_tpu.transfer import load_transfer_arch
+
+        arch = load_transfer_arch(transfer_dir) or {}
+        arch.pop("ae_type", None)
+        if arch:
+            print(f"transfer arch from {transfer_dir}/arch.json: {arch}")
         ae = get_transfer_ae(
             flags.transfer_ae_type.lower(),
             n_points_input=ctx.conf.n_points,
+            **arch,
         )
         ae.restore(transfer_dir, flags.transfer_ae_restore_epoch)
 

@@ -74,6 +74,18 @@ def main():
             template_type=flags.template_type,
         )
     trainer = get_transfer_ae(flags.ae_type, **kwargs)
+    # record the architecture so inference CLIs (tst/run_transfer,
+    # run_metro) rebuild the matching module from the checkpoint dir alone
+    from geometric_adv_tpu.transfer import save_transfer_arch
+
+    arch = {}
+    if flags.ae_type == "atlasnet":
+        arch = dict(
+            number_points=flags.number_points,
+            nb_primitives=flags.nb_primitives,
+            template_type=flags.template_type,
+        )
+    save_transfer_arch(train_dir, flags.ae_type, **arch)
     with open(osp.join(train_dir, "train_stats.txt"), "a", 1) as log:
         trainer.train(
             pcs, epochs=flags.epochs, batch_size=flags.batch_size,

@@ -47,14 +47,24 @@ def main():
     ).astype(np.float32)
     print(f"{flags.set_type}: {len(point_clouds)} examples")
 
+    train_dir = osp.join(flags.project_dir, flags.train_folder)
+    from geometric_adv_tpu.transfer import load_transfer_arch
+
     kwargs = dict(n_points_input=conf.n_points)
-    if flags.ae_type == "atlasnet":
+    arch = load_transfer_arch(train_dir)
+    if arch is not None:
+        # the checkpoint's recorded architecture wins over the flags (a
+        # mismatched module could not restore anyway)
+        arch.pop("ae_type", None)
+        kwargs.update(arch)
+        if arch:
+            print(f"transfer arch from {train_dir}/arch.json: {arch}")
+    elif flags.ae_type == "atlasnet":
         kwargs.update(
             number_points=flags.number_points,
             nb_primitives=flags.nb_primitives,
             template_type=flags.template_type,
         )
-    train_dir = osp.join(flags.project_dir, flags.train_folder)
     ae = get_transfer_ae(flags.ae_type, **kwargs)
     ae.restore(train_dir, flags.restore_epoch)
     print("Checkpoint successfully loaded")

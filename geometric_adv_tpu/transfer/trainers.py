@@ -326,3 +326,31 @@ def get_transfer_ae(ae_type: str, **kwargs):
     elif ae_type == "foldingnet":
         return FoldingNetTrainer(**kwargs)
     raise ValueError(f"unknown transfer AE type: {ae_type!r}")
+
+
+ARCH_FILE = "arch.json"
+
+
+def save_transfer_arch(train_dir: str, ae_type: str, **arch) -> None:
+    """Persist the architecture kwargs the checkpoint was trained with, so
+    inference CLIs can rebuild the matching module without the caller
+    repeating the train-time flags (the reference reloads its pickled opt
+    for the same purpose, transfer/atlasnet/atlasnet_ae.py:40-47)."""
+    import json
+    import os.path as osp
+
+    with open(osp.join(train_dir, ARCH_FILE), "w") as f:
+        json.dump({"ae_type": ae_type, **arch}, f, indent=1)
+
+
+def load_transfer_arch(train_dir: str) -> dict | None:
+    """Arch kwargs saved by ``save_transfer_arch``, or None (pre-arch.json
+    checkpoints: callers fall back to their flag defaults)."""
+    import json
+    import os.path as osp
+
+    path = osp.join(train_dir, ARCH_FILE)
+    if not osp.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

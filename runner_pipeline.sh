@@ -31,11 +31,17 @@ if [ "$MODE" = "quick" ]; then
   NUM_ATTACK=4; NUM_TARGET=2; ITERS=250; THRESH=200; SEL=10; ABATCH=0
   DATA=data/synthetic_512
   CLASS_ARGS="--class_names sphere cube torus cone"
+  ATLAS_ARGS="--nb_primitives 4 --template_type SQUARE --number_points 400"
+  METRO_ARGS="--num_per_class 1 --n_samples 4000"
 else
   N_POINTS=2048; N_PER_CLASS=250; EPOCHS=500; CLS_EPOCHS=100; TR_EPOCHS=100
   NUM_ATTACK=25; NUM_TARGET=5; ITERS=500; THRESH=400; SEL=25; ABATCH=500
   DATA=data/synthetic_2048
   CLASS_ARGS=""
+  # reference AtlasNet transfer config: 25 SQUARE patches
+  # (reference: transfer/atlasnet/runner_atlasnet.sh)
+  ATLAS_ARGS="--nb_primitives 25 --template_type SQUARE"
+  METRO_ARGS="--num_per_class 2"
 fi
 
 AE=log/autoencoder_victim
@@ -107,7 +113,8 @@ run $PY geometric_adv_tpu.cli.evaluate_classifier --ae_folder $AE \
 
 # 6. transfer (runner_transfer.sh + runner_atlasnet/foldingnet.sh)
 run $PY geometric_adv_tpu.cli.train_transfer --ae_type atlasnet \
-  --ae_folder $AE --data_folder $DATA --epochs $TR_EPOCHS --bn_momentum 0.7
+  --ae_folder $AE --data_folder $DATA --epochs $TR_EPOCHS --bn_momentum 0.7 \
+  $ATLAS_ARGS
 run $PY geometric_adv_tpu.cli.tst_transfer --ae_type atlasnet \
   --train_folder log/atlasnet_for_transfer --ae_folder $AE
 run $PY geometric_adv_tpu.cli.run_transfer --transfer_ae_type AtlasNet \
@@ -115,6 +122,10 @@ run $PY geometric_adv_tpu.cli.run_transfer --transfer_ae_type AtlasNet \
   --attack_pc_idx $SEL_IDX
 run $PY geometric_adv_tpu.cli.evaluate_transfer --transfer_ae_type AtlasNet \
   --ae_folder $AE --attack_pc_idx $SEL_IDX
+# metro leg: sampled mesh-Hausdorff of the SQUARE-patch AtlasNet meshes vs
+# the synthetic classes' analytic GT surfaces (reference metro pipeline,
+# transfer/atlasnet/training/trainer_loss.py:60-101)
+run $PY geometric_adv_tpu.cli.run_metro --ae_folder $AE $METRO_ARGS
 run $PY geometric_adv_tpu.cli.train_transfer --ae_type foldingnet \
   --ae_folder $AE --data_folder $DATA --epochs $TR_EPOCHS --bn_momentum 0.7
 run $PY geometric_adv_tpu.cli.tst_transfer --ae_type foldingnet \
