@@ -514,6 +514,42 @@ def bench_chamfer_matrix():
     return float(np.median(rates))
 
 
+def bench_chamfer_matrix_screened():
+    """Chunk-screened matrix job (PARITY #14) at the 64-chunk/k=8 operating
+    point, with the error vs the exact matrix of the same cloud set
+    recorded alongside the rate (the screen majorizes; uniform random
+    clouds are its WORST geometry — real surfaces screen tighter)."""
+    import jax
+
+    from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+    from geometric_adv_tpu.parallel import get_mesh
+
+    n_dev = len(jax.devices())
+    mesh = get_mesh() if n_dev > 1 else None
+    n = MATRIX_CLOUDS // 2  # error leg needs the exact matrix too
+    rng = np.random.RandomState(100)
+    pcs = jax.device_put(rng.rand(n, MATRIX_POINTS, 3).astype(np.float32))
+    float(np.asarray(pcs[0, 0, 0]))
+    n_pairs = n * (n + 1) // 2
+
+    def run(kw):
+        t0 = time.time()
+        mat = chamfer_distance_matrix(pcs, mesh=mesh, **kw)
+        return n_pairs / (time.time() - t0) / max(n_dev, 1), mat
+
+    scr_kw = dict(screen_chunks=64, screen_k=8)
+    _retry(lambda: run(scr_kw), "screened matrix warmup")
+    rates, mat_s = [], None
+    for _ in range(TIMED_REPS):
+        r, mat_s = run(scr_kw)
+        rates.append(r)
+        _log(f"bench: screened matrix rep: {r:.0f} pair-evals/s")
+    exact = chamfer_distance_matrix(pcs, mesh=mesh)
+    off = ~np.eye(n, dtype=bool)
+    rel = np.abs(mat_s - exact)[off] / np.maximum(exact[off], 1e-12)
+    return float(np.median(rates)), float(rel.mean()), float(rel.max())
+
+
 def bench_train_ae():
     """Victim-AE training throughput (samples/s/chip), scanned-epoch path.
 
@@ -774,6 +810,17 @@ def main():
         )
     except Exception as e:  # secondary metric must not sink the record
         _log(f"bench: chamfer matrix metric failed: {type(e).__name__}: {e}")
+    try:
+        scr_rate, scr_mean_rel, scr_max_rel = bench_chamfer_matrix_screened()
+        extras["chamfer_pair_evals_per_sec_2048pts_screened"] = round(
+            scr_rate, 1
+        )
+        extras["chamfer_matrix_screened_mean_rel_err"] = round(
+            scr_mean_rel, 5
+        )
+        extras["chamfer_matrix_screened_max_rel_err"] = round(scr_max_rel, 4)
+    except Exception as e:
+        _log(f"bench: screened matrix metric failed: {type(e).__name__}: {e}")
     try:
         # fused=None: bf16 AE compute changes the scheduling the chamfer
         # routing is sensitive to, so calibrate at this config too

@@ -31,6 +31,11 @@ def main():
     parser.add_argument("--num_instance_per_class", type=int, default=100)
     parser.add_argument("--pair_block", type=int, default=512)
     parser.add_argument("--blocks_per_chunk", type=int, default=256)
+    # chunk-screened fast mode for the chamfer matrix (0 = exact, the
+    # parity default; PARITY #14). screen_chunks=64 screen_k=8 is the
+    # measured operating point at 2048 pts.
+    parser.add_argument("--chamfer_screen_chunks", type=int, default=0)
+    parser.add_argument("--chamfer_screen_k", type=int, default=8)
     flags = parser.parse_args()
     print("Prepare indices flags:", flags)
 
@@ -64,7 +69,9 @@ def main():
         t0 = time.time()
         mat = chamfer_distance_matrix(
             point_clouds, pair_block=flags.pair_block,
-            blocks_per_chunk=flags.blocks_per_chunk, progress=True
+            blocks_per_chunk=flags.blocks_per_chunk, progress=True,
+            screen_chunks=flags.chamfer_screen_chunks,
+            screen_k=flags.chamfer_screen_k,
         )
         n_pairs = len(point_clouds) * (len(point_clouds) + 1) // 2
         dt = time.time() - t0

@@ -517,6 +517,30 @@ def main() -> None:
         f"kernel={h_kernel:.6f}, chunked={h_ref:.6f}, rel={hdev:.3g}",
     )
 
+    # --- 12: chunk-screened matrix fast mode on device (PARITY #14) ------
+    # full coverage (k == C) must reproduce the exact matrix through the
+    # Morton-sort + gather path; the partial screen must majorize it.
+    from geometric_adv_tpu.ops.pairwise import chamfer_distance_matrix
+
+    prng = np.random.RandomState(11)
+    ppcs = prng.rand(24, 2048, 3).astype(np.float32)
+    m_exact = chamfer_distance_matrix(ppcs, pair_block=32)
+    m_full = chamfer_distance_matrix(
+        ppcs, pair_block=32, screen_chunks=16, screen_k=16
+    )
+    m_part = chamfer_distance_matrix(
+        ppcs, pair_block=32, screen_chunks=64, screen_k=8
+    )
+    full_dev = float(
+        np.max(np.abs(m_full - m_exact) / np.maximum(np.abs(m_exact), 1e-9))
+    )
+    majorizes = bool(np.all(m_part >= m_exact - 1e-6))
+    _check(
+        "screened matrix @2048: full-coverage == exact (1e-5), k=8 majorizes",
+        full_dev <= 1e-5 and majorizes,
+        f"full-coverage rel={full_dev:.3g}, majorizes={majorizes}",
+    )
+
     print(
         f"\n{'ALL CHECKS PASSED' if not _FAILURES else 'FAILURES: ' + ', '.join(_FAILURES)}",
         flush=True,

@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from geometric_adv_tpu.ops.chamfer import nn_distance, nn_distance_values
+from geometric_adv_tpu.ops.chamfer import (
+    nn_distance,
+    nn_distance_values,
+    pairwise_sqdist,
+)
 
 # Pairs per scan step: the gathered [kb, n, 3] source/target blocks are the
 # HBM working set (kb=512 @2048 pts = 12.6 MB each) — large enough to fill
@@ -69,6 +73,119 @@ def _pair_chamfer_chunk(pcs, ii, jj, method="auto"):
     return ds
 
 
+# --- Chunk-screened pair evaluation (opt-in fast mode) -----------------
+#
+# The exact pair eval reduces a full [n, m] distance plane per direction —
+# ~16 VPU passes at 2048 pts (DESIGN.md round-4 floor analysis). But within
+# one matrix job every cloud participates in ~N pairs, so per-cloud spatial
+# structure amortizes to ~zero cost: sort each cloud once along a Morton
+# (z-order) curve and cut it into C equal contiguous chunks of g = m/C
+# points. A pair eval then screens each query point against the C chunk
+# CENTROIDS ([n, C] plane, MXU-formed), takes the k nearest chunks
+# (lax.top_k — fixed shape, no data-dependent predication: the failure mode
+# of the abandoned hierarchical kernel does not apply), and evaluates
+# exactly over the k*g gathered candidates. VPU work per direction drops
+# from n*m to n*C + n*k*g (5.7x fewer distance lanes at n=2048, C=64, k=8).
+#
+# The candidate min majorizes the exact min (it scans a subset), so every
+# screened matrix entry is >= its exact value; the error is zero whenever
+# the true NN lies in one of the k nearest chunks. Accuracy at the matrix
+# job's consumer (per class-block neighbor ORDERING, attack/pipeline.py::
+# sort_dist_mat) is what matters and is pinned by tests. Exact mode stays
+# the default; `screen_chunks`/`screen_k` opt in (PARITY #14).
+
+
+def _morton_spread3(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so bit i lands at bit 3*i (int32)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def chunk_clouds(pcs: jnp.ndarray, n_chunks: int = 64):
+    """Morton-sort each cloud and cut it into equal contiguous chunks.
+
+    Args:
+        pcs: [N, m, 3] clouds.
+        n_chunks: C. If m % C != 0 the sorted cloud is padded to C*g by
+            repeating its last point — duplicates never change a NN min,
+            and chunked structures only ever serve as the TARGET side of a
+            direction (means are always taken over the raw clouds).
+
+    Returns:
+        (chunks [N, C, g, 3], centers [N, C, 3]) — centers are chunk means
+        over the sorted points (padding included; it only biases the padded
+        chunk's own centroid, which the screen tolerates by construction).
+    """
+    n_total, m, _ = pcs.shape
+    g = -(-m // n_chunks)
+
+    def one(pc):
+        lo = pc.min(axis=0)
+        span = pc.max(axis=0) - lo
+        q = jnp.clip(
+            ((pc - lo) / (span + 1e-12) * 1023.0).astype(jnp.int32), 0, 1023
+        )
+        key = (
+            _morton_spread3(q[:, 0])
+            | (_morton_spread3(q[:, 1]) << 1)
+            | (_morton_spread3(q[:, 2]) << 2)
+        )
+        order = jnp.argsort(key)
+        srt = pc[order]
+        if n_chunks * g > m:
+            pad = jnp.broadcast_to(srt[-1], (n_chunks * g - m, 3))
+            srt = jnp.concatenate([srt, pad], axis=0)
+        return srt.reshape(n_chunks, g, 3)
+
+    chunks = jax.vmap(one)(pcs)
+    return chunks, chunks.mean(axis=2)
+
+
+def _screened_min_sqdist(a, b_chunks, b_centers, k):
+    """Per-point candidate min-sqdist of a's points into cloud b.
+
+    a: [n, 3]; b_chunks: [C, g, 3]; b_centers: [C, 3]. Returns [n] mins
+    over the k*g candidate points (>= the exact [n] mins).
+    """
+    d_ac = pairwise_sqdist(a, b_centers, method="mxu")  # [n, C]
+    _, top = jax.lax.top_k(-d_ac, k)  # [n, k] nearest-centroid chunk ids
+    n = a.shape[0]
+    best = jnp.full((n,), jnp.inf, jnp.float32)
+    for r in range(k):  # static unroll: k gathers of [n, g, 3]
+        pts = b_chunks[top[:, r]]  # [n, g, 3]
+        d = jnp.sum(jnp.square(a[:, None, :] - pts), axis=-1)
+        best = jnp.minimum(best, jnp.min(d, axis=-1))
+    return best
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pair_chamfer_screened(pcs, chunks, centers, ii, jj, k):
+    """Screened chamfer for [kb] index pairs (one block, vmapped)."""
+
+    def one(i, j):
+        d1 = _screened_min_sqdist(pcs[i], chunks[j], centers[j], k)
+        d2 = _screened_min_sqdist(pcs[j], chunks[i], centers[i], k)
+        return jnp.mean(d1) + jnp.mean(d2)
+
+    return jax.vmap(one)(ii, jj)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pair_chamfer_chunk_screened(pcs, chunks, centers, ii, jj, k):
+    """Screened variant of ``_pair_chamfer_chunk``: scan over nb blocks."""
+
+    def body(_, idx):
+        ib, jb = idx
+        return _, _pair_chamfer_screened(pcs, chunks, centers, ib, jb, k)
+
+    _, ds = jax.lax.scan(body, None, (ii, jj))
+    return ds
+
+
 def chamfer_distance_matrix(
     point_clouds: np.ndarray,
     pair_block: int = PAIR_BLOCK,
@@ -76,6 +193,8 @@ def chamfer_distance_matrix(
     mesh=None,
     method: str = "auto",
     progress: bool = False,
+    screen_chunks: int = 0,
+    screen_k: int = 0,
 ) -> np.ndarray:
     """Symmetric [N, N] chamfer matrix over a set of clouds.
 
@@ -90,6 +209,12 @@ def chamfer_distance_matrix(
             over it (clouds are replicated).
         method: pairwise-distance formulation ("auto" picks the fused Pallas
             kernel on TPU / "direct" XLA elsewhere).
+        screen_chunks: 0 (default) = exact full [n, m] evaluation. > 0 opts
+            into the chunk-screened fast mode: each cloud is Morton-cut
+            into this many chunks once, and every pair eval scans only the
+            ``screen_k`` nearest chunks per point (entries majorize the
+            exact values; PARITY #14).
+        screen_k: chunks scanned per point in screened mode (default 8).
     """
     # A jax.Array input is used as-is (already device-resident — e.g. a
     # dataset kept on device across stages); host inputs upload once below.
@@ -105,6 +230,13 @@ def chamfer_distance_matrix(
     # evaluate to 0) to keep the pair list simply rectangular.
     iu, ju = np.triu_indices(n_total)
     n_pairs = len(iu)
+
+    if screen_chunks and not screen_k:
+        screen_k = 8
+    if screen_chunks:
+        # the k unrolled [kb, n, g, 3] candidate gathers are the working
+        # set — cap the block so screened mode stays far from HBM pressure
+        pair_block = min(pair_block, 128)
 
     shard_of = 1 if mesh is None else mesh.devices.size
     if pair_block % shard_of:
@@ -128,6 +260,10 @@ def chamfer_distance_matrix(
             )
 
             pcs_dev = make_global_replicated(np.asarray(pcs, np.float32), mesh)
+
+    if screen_chunks:
+        # one Morton sort + chunking per cloud, amortized over its ~N pairs
+        chunks_dev, centers_dev = chunk_clouds(pcs_dev, screen_chunks)
 
     chunk_pairs = pair_block * blocks_per_chunk
     # ONE chunk shape per job: a shape-changing tail chunk would recompile
@@ -171,9 +307,13 @@ def chamfer_distance_matrix(
 
         # gather_global: plain device_get single-process; a cross-process
         # allgather when the chunk output is not fully addressable
-        d = gather_global(
-            _pair_chamfer_chunk(pcs_dev, ii, jj, method)
-        ).reshape(-1)[:k]
+        if screen_chunks:
+            ds = _pair_chamfer_chunk_screened(
+                pcs_dev, chunks_dev, centers_dev, ii, jj, screen_k
+            )
+        else:
+            ds = _pair_chamfer_chunk(pcs_dev, ii, jj, method)
+        d = gather_global(ds).reshape(-1)[:k]
         out[iu[s:e], ju[s:e]] = d
         out[ju[s:e], iu[s:e]] = d
         if progress:

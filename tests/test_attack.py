@@ -290,6 +290,70 @@ def test_chamfer_distance_matrix_sharded(rng):
     np.testing.assert_allclose(single, sharded, atol=1e-6)
 
 
+def _surface_clouds(n_per=6, m=256):
+    """Small surface-like cloud set (the screen's intended geometry)."""
+    from geometric_adv_tpu.data.synthetic import sample_shape
+
+    pcs, slice_idx = [], [0]
+    for c in ("sphere", "cube", "torus"):
+        for i in range(n_per):
+            pcs.append(
+                np.asarray(sample_shape(c, m, np.random.RandomState(i + 7)))
+            )
+        slice_idx.append(len(pcs))
+    return np.stack(pcs).astype(np.float32), np.array(slice_idx)
+
+
+def test_chamfer_matrix_screened_full_coverage_is_exact():
+    """screen_k == screen_chunks scans every chunk — the candidate set is
+    the whole cloud, so the screened matrix must EQUAL the exact one
+    bit-for-bit modulo summation order (also exercises the Morton sort,
+    gather, and non-divisible-m padding paths structurally)."""
+    pcs, _ = _surface_clouds(n_per=3, m=60)  # 60 % 8 != 0 -> padded chunks
+    exact = chamfer_distance_matrix(pcs, pair_block=16, method="direct")
+    scr = chamfer_distance_matrix(
+        pcs, pair_block=16, screen_chunks=8, screen_k=8
+    )
+    np.testing.assert_allclose(scr, exact, rtol=1e-6, atol=1e-7)
+
+
+def test_chamfer_matrix_screened_majorizes_and_orders():
+    """Partial screen: entries majorize the exact values and the per
+    class-block neighbor orderings (the matrix job's consumer,
+    sort_dist_mat) keep their heads."""
+    pcs, slice_idx = _surface_clouds(n_per=6, m=256)
+    exact = chamfer_distance_matrix(pcs, pair_block=32, method="direct")
+    scr = chamfer_distance_matrix(
+        pcs, pair_block=32, screen_chunks=16, screen_k=6
+    )
+    assert np.all(scr >= exact - 1e-6)
+    off = ~np.eye(len(pcs), dtype=bool)
+    rel = np.abs(scr - exact)[off] / np.maximum(exact[off], 1e-12)
+    assert rel.mean() < 0.02, f"mean rel err {rel.mean():.3f}"
+
+    nn_e = sort_dist_mat(exact.copy(), slice_idx)
+    nn_s = sort_dist_mat(scr.copy(), slice_idx)
+    hits = total = 0
+    for i in range(len(pcs)):
+        for j in range(len(slice_idx) - 1):
+            a = set(nn_e[i, slice_idx[j]:slice_idx[j + 1]][:3].tolist())
+            b = set(nn_s[i, slice_idx[j]:slice_idx[j + 1]][:3].tolist())
+            hits += len(a & b)
+            total += 3
+    assert hits / total > 0.9, f"top-3 overlap {hits}/{total}"
+
+
+def test_chamfer_matrix_screened_sharded(rng):
+    pcs, _ = _surface_clouds(n_per=4, m=64)
+    single = chamfer_distance_matrix(
+        pcs, pair_block=8, screen_chunks=8, screen_k=3
+    )
+    sharded = chamfer_distance_matrix(
+        pcs, pair_block=24, screen_chunks=8, screen_k=3, mesh=get_mesh()
+    )
+    np.testing.assert_allclose(single, sharded, atol=1e-6)
+
+
 def test_latent_dist_matrix(rng):
     z = rng.rand(6, 4).astype(np.float32)
     m = latent_dist_matrix(z)
