@@ -54,9 +54,10 @@ def main():
         help="frozen-assignment chamfer fast mode: recompute the NN "
         "assignments of both attack chamfers exactly every N iterations "
         "and hold them frozen (pure elementwise loss+grad) in between — "
-        "~2x at 2048 pts (PARITY #13 documents the metric deviation; "
-        "validated vs exact at FULLRUN scale). 0 = exact every iteration "
-        "(the parity default); 1 = refresh every step (matches exact)",
+        "3.7x (N=10) to 7x (N=50) at 2048 pts (PARITY #13 documents the "
+        "metric deviation; validated vs exact at FULLRUN scale). 0 = exact "
+        "every iteration (the parity default); 1 = refresh every step "
+        "(matches exact)",
     )
     parser.add_argument(
         "--encoder_vjp", type=str, default="auto",

@@ -234,6 +234,7 @@ def chamfer_distance_matrix(
     if screen_chunks and not screen_k:
         screen_k = 8
     if screen_chunks:
+        screen_k = min(screen_k, screen_chunks)
         # the k unrolled [kb, n, g, 3] candidate gathers are the working
         # set — cap the block so screened mode stays far from HBM pressure
         pair_block = min(pair_block, 128)
